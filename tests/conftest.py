@@ -1,0 +1,22 @@
+"""Test environment: force the CPU backend with 8 virtual devices so that
+multi-device sharding/psum paths are exercised without TPU hardware
+(SURVEY.md §4 implication; same trick the driver uses for dryrun_multichip).
+
+Note: this machine exports JAX_PLATFORMS=axon (a tunneled TPU backend) and
+the env var alone is not sufficient to override it — we must clear it AND
+set the config before the backend initializes. Must run before any test
+module imports jax-dependent code.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = ""
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,151 @@
+"""Shared transformer building blocks (flax.linen).
+
+Semantics match PyTorch's stock `nn.TransformerEncoderLayer` with its
+DEFAULTS, because the reference uses it un-overridden
+(reference weatherbert.py:45-54): post-LayerNorm residual order,
+ReLU activation, dropout 0.1 (on attention weights, attention output,
+FFN hidden, and FFN output), LayerNorm eps 1e-5. Linear layers use
+torch's U(-1/sqrt(fan_in), +1/sqrt(fan_in)) init for both kernel and bias
+so training dynamics are statistically comparable.
+
+The attention inner product runs through `weathermodel_tpu.ops.attention`
+which dispatches to either a plain-XLA path or the fused Pallas kernel.
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from weathermodel_tpu.ops.attention import multi_head_attention
+
+
+def torch_linear_kernel_init():
+    # U(-1/sqrt(fan_in), 1/sqrt(fan_in)) == variance_scaling(1/3, fan_in, uniform)
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_linear_bias_init(fan_in: int):
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        import jax
+
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_dense(features: int, fan_in: int, name: Optional[str] = None,
+                dtype=jnp.float32):
+    """nn.Dense with torch nn.Linear's default initialization."""
+    return nn.Dense(
+        features,
+        kernel_init=torch_linear_kernel_init(),
+        bias_init=torch_linear_bias_init(fan_in),
+        name=name,
+        dtype=dtype,
+    )
+
+
+def sinusoidal_positional_encoding(max_len: int, hidden_dim: int) -> np.ndarray:
+    """Classic 'Attention is All You Need' PE table [max_len, hidden_dim]
+    (reference vanilla_pos_encoding.py:11-58). Computed once at trace time."""
+    assert hidden_dim % 2 == 0, "hidden_dim must be even"
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(
+        np.arange(0, hidden_dim, 2, dtype=np.float32)
+        * (-np.log(10000.0) / hidden_dim)
+    )
+    pe = np.zeros((max_len, hidden_dim), dtype=np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with torch MHA layout: a packed QKV
+    projection and an output projection, attention-weight dropout."""
+
+    hidden_dim: int
+    num_heads: int
+    dropout_rate: float = 0.1
+    attention_impl: str = "xla"  # "xla" | "pallas"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, deterministic=True):
+        h, nh = self.hidden_dim, self.num_heads
+        qkv = torch_dense(3 * h, h, name="qkv_proj", dtype=self.dtype)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        dropout_rng = None
+        if not deterministic and self.dropout_rate > 0.0:
+            dropout_rng = self.make_rng("dropout")
+
+        out = multi_head_attention(
+            q, k, v,
+            num_heads=nh,
+            key_padding_mask=key_padding_mask,
+            dropout_rate=0.0 if deterministic else self.dropout_rate,
+            dropout_rng=dropout_rng,
+            impl=self.attention_impl,
+        )
+        return torch_dense(h, h, name="out_proj", dtype=self.dtype)(out)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-LN encoder layer, torch defaults (see module docstring)."""
+
+    hidden_dim: int
+    num_heads: int
+    ffn_dim: int
+    dropout_rate: float = 0.1
+    attention_impl: str = "xla"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, deterministic=True):
+        attn = SelfAttention(
+            self.hidden_dim, self.num_heads, self.dropout_rate,
+            self.attention_impl, self.dtype, name="self_attn",
+        )(x, key_padding_mask, deterministic)
+        attn = nn.Dropout(self.dropout_rate, deterministic=deterministic)(attn)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x + attn)
+
+        ff = torch_dense(self.ffn_dim, self.hidden_dim, name="linear1",
+                         dtype=self.dtype)(x)
+        ff = nn.relu(ff)
+        ff = nn.Dropout(self.dropout_rate, deterministic=deterministic)(ff)
+        ff = torch_dense(self.hidden_dim, self.ffn_dim, name="linear2",
+                         dtype=self.dtype)(ff)
+        ff = nn.Dropout(self.dropout_rate, deterministic=deterministic)(ff)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(x + ff)
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of post-LN encoder layers (reference weatherbert.py:52-54:
+    nn.TransformerEncoder with no final norm)."""
+
+    hidden_dim: int
+    num_heads: int
+    ffn_dim: int
+    num_layers: int
+    dropout_rate: float = 0.1
+    attention_impl: str = "xla"
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, deterministic=True):
+        layer_cls = TransformerEncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(3,))
+        for i in range(self.num_layers):
+            x = layer_cls(
+                self.hidden_dim, self.num_heads, self.ffn_dim,
+                self.dropout_rate, self.attention_impl, self.dtype,
+                name=f"layer_{i}",
+            )(x, key_padding_mask, deterministic)
+        return x

@@ -1,0 +1,73 @@
+"""Multi-head attention with selectable backends.
+
+`impl="xla"` is a straightforward einsum/softmax formulation that XLA fuses
+well at these shapes (B, 365, h). `impl="pallas"` routes to the fused
+flash-style Pallas kernel in weathermodel_tpu.ops.pallas_attention (no
+materialized [B, H, T, T] score tensor in HBM).
+
+Key-padding semantics follow torch MultiheadAttention: `key_padding_mask`
+is [B, T] boolean with True = PAD (ignore that key).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(q, k, v, num_heads, key_padding_mask, dropout_rate,
+                   dropout_rng):
+    b, t, h = q.shape
+    hd = h // num_heads
+    q = q.reshape(b, t, num_heads, hd)
+    k = k.reshape(b, t, num_heads, hd)
+    v = v.reshape(b, t, num_heads, hd)
+
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(hd, dtype=jnp.float32))
+    if key_padding_mask is not None:
+        neg = jnp.asarray(jnp.finfo(jnp.float32).min, scores.dtype)
+        scores = jnp.where(key_padding_mask[:, None, None, :], neg, scores)
+    weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
+
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.reshape(b, t, h)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    num_heads: int,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+    impl: str = "xla",
+):
+    """q/k/v: [B, T, hidden]; returns [B, T, hidden]."""
+    if q.shape[-1] % num_heads != 0:
+        raise ValueError(
+            f"hidden dim {q.shape[-1]} not divisible by num_heads {num_heads}"
+        )
+    if impl == "pallas":
+        from weathermodel_tpu.ops.pallas_attention import flash_attention
+
+        if dropout_rate == 0.0:
+            return flash_attention(
+                q, k, v, num_heads=num_heads, key_padding_mask=key_padding_mask
+            )
+        # Attention-weight dropout requires the materialized-score path.
+        return _xla_attention(q, k, v, num_heads, key_padding_mask,
+                              dropout_rate, dropout_rng)
+    if impl == "xla":
+        return _xla_attention(q, k, v, num_heads, key_padding_mask,
+                              dropout_rate, dropout_rng)
+    raise ValueError(f"Unknown attention impl: {impl}")
