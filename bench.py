@@ -1,0 +1,108 @@
+"""Benchmark: pretraining train-step throughput, samples/sec/chip.
+
+Measures the full jitted train step (on-device masking + forward + loss +
+backward + Adam update) for WeatherBERT-small (~2M params, the BASELINE.json
+metric) on the available TPU chip(s), bfloat16 compute / float32 params.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+vs_baseline compares against PYTORCH_GPU_BASELINE — the reference publishes
+no numbers (SURVEY.md §6), so this is an estimated eager-PyTorch fp32
+nn.TransformerEncoder throughput for the same model on an H100
+(see BASELINE.md "throughput baseline estimate" for the methodology).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Estimated reference throughput (samples/sec/chip, PyTorch fp32 on H100,
+# WeatherBERT-small, batch 256/4 GPUs). See BASELINE.md for derivation.
+PYTORCH_GPU_BASELINE = 2000.0
+
+
+def main():
+    import jax
+
+    from weathermodel_tpu.models import WeatherBERT
+    from weathermodel_tpu.parallel.mesh import make_mesh, shard_batch
+    from weathermodel_tpu.train.state import create_train_state, make_optimizer
+    from weathermodel_tpu.train.steps import Batch, compile_step, make_train_step
+    from weathermodel_tpu.utils.config import model_config_for_size
+
+    size = os.environ.get("BENCH_MODEL_SIZE", "small")
+    batch_per_chip = int(os.environ.get("BENCH_BATCH_PER_CHIP", "512"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    attention_impl = os.environ.get("BENCH_ATTENTION", "xla")
+
+    n_chips = len(jax.devices())
+    mesh = make_mesh()  # all chips on 'data'
+    b = batch_per_chip * n_chips
+
+    cfg = model_config_for_size(size, compute_dtype="bfloat16")
+    model = WeatherBERT(cfg, attention_impl=attention_impl)
+    t, f = cfg.max_len, cfg.weather_dim
+
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        weather=rng.normal(size=(b, t, f)).astype(np.float32),
+        coords=rng.uniform(-90, 90, size=(b, 2)).astype(np.float32),
+        year=np.full((b, t), 1990.0, dtype=np.float32),
+        interval=np.full((b, 1), 7.0, dtype=np.float32),
+    )
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch.weather[:2], batch.coords[:2], batch.year[:2],
+        batch.interval[:2], np.zeros((2, t, f), dtype=bool),
+    )
+    from weathermodel_tpu.parallel.mesh import replicated_sharding
+
+    state = jax.device_put(create_train_state(params),
+                           replicated_sharding(mesh))
+    tx = make_optimizer()
+    step = compile_step(
+        make_train_step(model, "masked_mse", "weatherbert", tx=tx),
+        mesh, donate_state=True,
+    )
+    sharded = shard_batch(mesh, batch)
+    key = jax.random.PRNGKey(1)
+    lr, n_masked = np.float32(5e-4), np.int32(1)
+
+    # warmup / compile. NOTE: through the axon tunnel block_until_ready
+    # returns before the compute finishes — a host transfer (float()) is the
+    # only honest barrier, so we use it for warmup and timing.
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, sharded, sub, lr, n_masked)
+    float(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, sharded, sub, lr, n_masked)
+    float(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = b * n_steps / dt
+    per_chip = samples_per_sec / n_chips
+    print(
+        f"[bench] {size} B={b} T={t} chips={n_chips} "
+        f"impl={attention_impl} steps={n_steps} wall={dt:.3f}s "
+        f"loss={float(metrics['total_loss']):.4f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": f"pretrain_samples_per_sec_per_chip_weatherbert_{size}",
+        "value": round(per_chip, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(per_chip / PYTORCH_GPU_BASELINE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Chunk store + pretraining batch pipeline tests."""
+
+import numpy as np
+import pytest
+
+from weathermodel_tpu.data.chunks import (
+    chunk_path,
+    load_chunk,
+    save_chunk,
+    synthetic_chunk,
+    write_synthetic_dataset,
+)
+from weathermodel_tpu.data.pretraining import (
+    PretrainDataConfig,
+    derive_years,
+    pretrain_batches,
+    split_chunk_ids,
+)
+from weathermodel_tpu.utils.constants import VALIDATION_CHUNK_IDS
+
+
+def test_chunk_roundtrip(tmp_path):
+    w, c, i = synthetic_chunk(0, n_samples=8, seq_len=12)
+    p = chunk_path(str(tmp_path), "weekly", 0)
+    save_chunk(p, w, c, i)
+    w2, c2, i2 = load_chunk(p)
+    np.testing.assert_array_equal(w, w2)
+    np.testing.assert_array_equal(c, c2)
+    np.testing.assert_array_equal(i, i2)
+
+
+def test_synthetic_chunk_statistics():
+    w, c, i = synthetic_chunk(1, n_samples=32, seq_len=52)
+    assert w.shape == (32, 52, 31)
+    # z-scored per feature
+    assert abs(w.mean()) < 0.05 and abs(w.std() - 1.0) < 0.1
+    assert (i[:, 1] == 7).all()
+    assert (np.abs(c[:, 0]) <= 90).all() and (np.abs(c[:, 1]) <= 180).all()
+
+
+def test_derive_years_formula():
+    # reference pretraining_dataloader.py:250-256
+    years = derive_years(np.array([0.0, 2.0]), np.array([7.0, 1.0]), 4)
+    np.testing.assert_allclose(
+        years[0], 1984.0 + np.arange(4) * 7.0 / 365.0
+    )
+    np.testing.assert_allclose(
+        years[1], 1984.0 + (2 * 365.0 + np.arange(4)) * 1.0 / 365.0
+    )
+
+
+def test_split_chunk_ids():
+    cfg = PretrainDataConfig(dry_run=False, num_parts=119)
+    train = split_chunk_ids("train", cfg)
+    val = split_chunk_ids("validation", cfg)
+    assert len(train) == 111 and len(val) == 8
+    assert not set(train) & set(VALIDATION_CHUNK_IDS)
+    # per-host contiguous sharding
+    h0 = split_chunk_ids("train", cfg, num_hosts=4, host_id=0)
+    h3 = split_chunk_ids("train", cfg, num_hosts=4, host_id=3)
+    assert len(h0) == len(h3) == 111 // 4
+    assert not set(h0) & set(h3)
+
+
+def test_pretrain_batches_fixed_shapes_and_cutoff(tmp_path):
+    write_synthetic_dataset(str(tmp_path), n_chunks=4, n_samples=24,
+                            seq_len=16)
+    cfg = PretrainDataConfig(data_dir=str(tmp_path), batch_size=16,
+                             dry_run=False, num_parts=4)
+    batches = list(pretrain_batches("train", cfg, shuffle=True, seed=0))
+    # chunks 0..3 minus val ids within range -> at least 2 train chunks
+    assert len(batches) >= 2
+    for b in batches:
+        assert b.weather.shape == (16, 16, 31)
+        assert b.coords.shape == (16, 2)
+        assert b.year.shape == (16, 16)
+        assert b.interval.shape == (16, 1)
+        assert (b.year < 2002.0).all()  # cutoff filter
+
+
+def test_pretrain_batches_shuffle_changes_order(tmp_path):
+    write_synthetic_dataset(str(tmp_path), n_chunks=4, n_samples=32,
+                            seq_len=8)
+    cfg = PretrainDataConfig(data_dir=str(tmp_path), batch_size=8,
+                             dry_run=False, num_parts=4)
+    b1 = next(iter(pretrain_batches("train", cfg, shuffle=True, seed=1)))
+    b2 = next(iter(pretrain_batches("train", cfg, shuffle=True, seed=2)))
+    assert not np.array_equal(b1.weather, b2.weather)
+    # unshuffled is deterministic
+    c1 = next(iter(pretrain_batches("train", cfg, shuffle=False, seed=1)))
+    c2 = next(iter(pretrain_batches("train", cfg, shuffle=False, seed=2)))
+    np.testing.assert_array_equal(c1.weather, c2.weather)

@@ -1,0 +1,93 @@
+"""Device mesh and sharding layout.
+
+TPU-native replacement for the reference's DDP/NCCL layer (SURVEY.md §2.11):
+a (data, model) `jax.sharding.Mesh`; batches sharded over 'data', parameters
+either replicated (pure DP — all the reference needs: models are <=56M) or
+sharded over 'model' (tensor parallelism on attention heads / FFN, available
+for scale-out). Gradient averaging that DDP did with NCCL allreduce falls out
+of `jax.jit` compiling the sharded train step: XLA inserts the reduce over
+ICI automatically.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 2-D (data, model) mesh. Defaults to all devices on the data
+    axis (pure DP, the reference's only strategy — SURVEY.md §2.11)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model != len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} != {len(devices)} devices"
+        )
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of host arrays with the batch axis sharded over
+    'data' (the HBM-resident sharded-batch path; replaces the reference's
+    per-rank chunk partitioning + torch.load(map_location=cuda))."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def param_sharding_rules(path_tuple, shape, mesh: Mesh) -> P:
+    """Tensor-parallel layout rules for the transformer params, keyed on the
+    param path. With n_model == 1 everything resolves to replication.
+
+    Layout (Megatron-style column/row split so each layer needs one
+    reduce over 'model'):
+      qkv_proj / linear1 kernels: split output dim  -> P(None, 'model')
+      out_proj(attn) / linear2 kernels: split input dim -> P('model', None)
+      everything else: replicated.
+    """
+    if mesh.shape[MODEL_AXIS] == 1:
+        return P()
+    path = "/".join(str(p) for p in path_tuple)
+    if len(shape) == 2:
+        if "qkv_proj" in path or "linear1" in path:
+            return P(None, MODEL_AXIS)
+        if ("self_attn" in path and "out_proj" in path) or "linear2" in path:
+            return P(MODEL_AXIS, None)
+    if len(shape) == 1:
+        if "qkv_proj" in path or "linear1" in path:
+            return P(MODEL_AXIS)
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """Apply `param_sharding_rules` over a param pytree."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def spec_for(path, leaf):
+        keys = tuple(
+            getattr(k, "key", getattr(k, "idx", str(k))) for k in path
+        )
+        return NamedSharding(mesh, param_sharding_rules(keys, leaf.shape, mesh))
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jax.device_put(leaf, spec_for(path, leaf)), params
+    )

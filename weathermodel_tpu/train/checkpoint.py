@@ -1,0 +1,88 @@
+"""Orbax checkpointing with the reference's logical split (SURVEY.md §5.4):
+
+* **resume** — full training state (params + optimizer + epoch + best val +
+  output_json), reference base_trainer.py:121-170;
+* **pretrained-init / transfer** — params-only tree consumed by
+  `models/transfer.py` (reference `load_pretrained` polymorphism).
+
+Layout: {workdir}/checkpoints/{epoch}/ managed by CheckpointManager
+(keeps recent + best), plus {workdir}/best/ params-only.
+"""
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import orbax.checkpoint as ocp
+
+from weathermodel_tpu.train.state import TrainState
+
+
+class Checkpointer:
+    def __init__(self, workdir: str, max_to_keep: int = 3):
+        self.workdir = os.path.abspath(workdir)
+        os.makedirs(self.workdir, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            os.path.join(self.workdir, "checkpoints"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+        self._best_ckptr = ocp.StandardCheckpointer()
+
+    def save(self, epoch: int, state: TrainState, best_val_loss: float,
+             output_json: dict) -> None:
+        meta = {"epoch": epoch, "best_val_loss": float(best_val_loss)}
+        self.manager.save(
+            epoch,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                meta=ocp.args.JsonSave(meta),
+                output_json=ocp.args.JsonSave(output_json),
+            ),
+        )
+        self.manager.wait_until_finished()
+
+    def latest_epoch(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state_template: TrainState,
+                epoch: Optional[int] = None
+                ) -> Tuple[TrainState, int, float, dict]:
+        epoch = epoch if epoch is not None else self.manager.latest_step()
+        restored = self.manager.restore(
+            epoch,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(state_template),
+                meta=ocp.args.JsonRestore(),
+                output_json=ocp.args.JsonRestore(),
+            ),
+        )
+        meta = restored["meta"]
+        return (restored["state"], meta["epoch"], meta["best_val_loss"],
+                restored["output_json"])
+
+    def save_best_params(self, params: Any) -> None:
+        path = os.path.join(self.workdir, "best")
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        self._best_ckptr.save(path, params)
+        self._best_ckptr.wait_until_finished()
+
+    def load_params(self, params_template: Any,
+                    path: Optional[str] = None) -> Any:
+        """Load a params-only tree (for pretrained-init transfer)."""
+        path = path or os.path.join(self.workdir, "best")
+        return self._best_ckptr.restore(path, target=params_template)
+
+
+def write_output_json(workdir: str, name: str, output_json: dict) -> str:
+    """Per-epoch experiment record, the reference's comparison artifact
+    (base_trainer.py:475-489: `{name}_output.json`)."""
+    path = os.path.join(workdir, f"{name}_output.json")
+    os.makedirs(workdir, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(output_json, f, indent=2)
+    return path

@@ -1,0 +1,160 @@
+"""Single-jit train/eval steps for pretraining.
+
+The whole inner loop of the reference's `BaseTrainer._train_epoch`
+(base_trainer.py:230-260: mask generation -> forward -> loss -> backward ->
+allreduce -> optimizer step) is ONE compiled XLA program here. On a multi-
+device mesh the batch arrives sharded over the 'data' axis and XLA inserts
+the gradient reduce over ICI — the DDP/NCCL layer has no explicit
+counterpart.
+
+Objectives (reference trainer classes, SURVEY.md §2.4):
+  masked_mse    — WeatherBERT / WeatherAutoencoder / SimMTM: MSE over masked
+                  positions only (weatherbert_trainer.py:46-62)
+  elbo          — WeatherFormer: recon = -E_b[logN(x;mu,var)]/n_masked,
+                  kl = beta*KL(q || N(0,1)).mean()/n_masked
+                  (weatherformer_trainer.py:68-111)
+  elbo_sinusoid — KL against the model's sinusoidal prior
+                  (weatherformer_sinusoid_trainer.py:11-47)
+  elbo_mixture  — single-sample mixture KL on z = mu + sqrt(var)*eps
+                  (weatherformer_mixture_trainer.py:14-58)
+
+Masking policy and probability are static (closure); `n_masked` is a traced
+scalar so the masking curriculum never re-jits.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from weathermodel_tpu.ops.losses import (
+    gaussian_kl_divergence,
+    gaussian_log_likelihood,
+    mixture_kl_divergence,
+)
+from weathermodel_tpu.ops.masking import make_mask
+from weathermodel_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from weathermodel_tpu.train.state import TrainState, make_optimizer
+
+
+class Batch(NamedTuple):
+    weather: jnp.ndarray   # [B, T, F]
+    coords: jnp.ndarray    # [B, 2]
+    year: jnp.ndarray      # [B, T]
+    interval: jnp.ndarray  # [B, 1]
+
+
+OBJECTIVES = ("masked_mse", "elbo", "elbo_sinusoid", "elbo_mixture")
+
+
+def _objective_losses(model, objective, params, batch, mask, beta,
+                      deterministic, rngs, sample_key):
+    outputs = model.apply(
+        params, batch.weather, batch.coords, batch.year, batch.interval,
+        mask, deterministic=deterministic, rngs=rngs,
+    )
+    if objective == "masked_mse":
+        se = jnp.square(batch.weather - outputs)
+        msum = jnp.sum(mask)
+        total = jnp.sum(se * mask) / jnp.maximum(msum, 1)
+        return {"total_loss": total}
+
+    # Variational objectives: per-sample sums normalized by the batch-mean
+    # masked count (reference weatherformer_trainer.py:90-99).
+    n_masked = jnp.mean(jnp.sum(mask, axis=(1, 2)).astype(jnp.float32))
+    n_masked = jnp.maximum(n_masked, 1.0)
+    mu_x, var_x = outputs[0], outputs[1]
+    recon = jnp.mean(
+        -gaussian_log_likelihood(batch.weather, mu_x, var_x, mask) / n_masked
+    )
+    if objective == "elbo":
+        kl = gaussian_kl_divergence(
+            mask, mu_x, var_x, jnp.zeros_like(mu_x), jnp.ones_like(var_x)
+        )
+    elif objective == "elbo_sinusoid":
+        mu_p, var_p = outputs[2], outputs[3]
+        kl = gaussian_kl_divergence(mask, mu_x, var_x, mu_p, var_p)
+    elif objective == "elbo_mixture":
+        mu_k, var_k, log_w_k = outputs[2], outputs[3], outputs[4]
+        eps = jax.random.normal(sample_key, mu_x.shape)
+        z = mu_x + jnp.sqrt(var_x) * eps
+        kl = mixture_kl_divergence(z, mask, mu_x, var_x, mu_k, var_k, log_w_k)
+    else:
+        raise ValueError(f"Unknown objective: {objective}")
+    kl_term = beta * jnp.mean(kl) / n_masked
+    return {
+        "total_loss": recon + kl_term,
+        "reconstruction": recon,
+        "kl_term": kl_term,
+    }
+
+
+def make_train_step(model, objective: str, masking: str, *,
+                    masking_prob: float = 0.15, beta: float = 1.0,
+                    tx=None):
+    """Returns train_step(state, batch, key, lr, n_masked) -> (state, metrics)."""
+    tx = tx or make_optimizer()
+
+    def train_step(state: TrainState, batch: Batch, key, lr, n_masked):
+        b, t, f = batch.weather.shape
+        mask_key, dropout_key, sample_key = jax.random.split(key, 3)
+        mask = make_mask(masking, mask_key, b, t, f,
+                         prob=masking_prob, n_masked=n_masked)
+
+        def loss_fn(params):
+            losses = _objective_losses(
+                model, objective, params, batch, mask, beta,
+                deterministic=False, rngs={"dropout": dropout_key},
+                sample_key=sample_key,
+            )
+            return losses["total_loss"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        )
+        return new_state, losses
+
+    return train_step
+
+
+def make_eval_step(model, objective: str, masking: str, *,
+                   masking_prob: float = 0.15, beta: float = 1.0):
+    """Returns eval_step(params, batch, key, n_masked) -> metrics.
+    Deterministic forward (dropout off — reference model.eval())."""
+
+    def eval_step(params, batch: Batch, key, n_masked):
+        b, t, f = batch.weather.shape
+        mask_key, sample_key = jax.random.split(key)
+        mask = make_mask(masking, mask_key, b, t, f,
+                         prob=masking_prob, n_masked=n_masked)
+        return _objective_losses(
+            model, objective, params, batch, mask, beta,
+            deterministic=True, rngs=None, sample_key=sample_key,
+        )
+
+    return eval_step
+
+
+def compile_step(step_fn, mesh, *, donate_state: bool = False,
+                 n_batch_args: int = 1, state_first: bool = True):
+    """jit a step over a mesh: the batch arg is pinned sharded over 'data';
+    the state keeps whatever sharding its arrays carry (replicated for pure
+    DP, 'model'-sharded for TP via shard_params). Argument order convention:
+    (state_or_params, batch, *scalars)."""
+    import inspect
+
+    bs = batch_sharding(mesh)
+    n_args = len(inspect.signature(step_fn).parameters)
+    shardings = [None] * n_args
+    shardings[1] = bs
+    return jax.jit(
+        step_fn,
+        in_shardings=tuple(shardings),
+        donate_argnums=(0,) if donate_state else (),
+    )

@@ -1,0 +1,215 @@
+"""Epoch-driven pretraining trainer.
+
+Capability match for the reference BaseTrainer + per-model trainers
+(base_trainer.py:19-537, SURVEY.md §2.1/§2.4) redesigned TPU-first:
+the per-batch work is one jitted XLA program (see train/steps.py); the
+Python loop only feeds sharded batches and handles epoch-boundary logic —
+masking curriculum, per-EPOCH LR schedule, validation, best tracking,
+checkpointing, output_json. Loss metrics come back already globally
+averaged (jit over the sharded batch), replacing the explicit
+all_reduce(SUM)/world_size of the reference (base_trainer.py:459-473).
+"""
+
+import logging
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from weathermodel_tpu.parallel.mesh import make_mesh, shard_batch
+from weathermodel_tpu.train.checkpoint import Checkpointer, write_output_json
+from weathermodel_tpu.train.state import TrainState, create_train_state, make_optimizer
+from weathermodel_tpu.train.steps import (
+    Batch,
+    compile_step,
+    make_eval_step,
+    make_train_step,
+)
+from weathermodel_tpu.ops.schedules import epoch_lr_schedule
+from weathermodel_tpu.utils.config import (
+    ModelConfig,
+    TrainConfig,
+    n_masked_features_for_epoch,
+)
+
+logger = logging.getLogger(__name__)
+
+OBJECTIVE_FOR_MODEL = {
+    "weatherbert": ("masked_mse", "weatherbert"),
+    "weatherautoencoder": ("masked_mse", "weatherformer"),  # fair-comparison
+    "simmtm": ("masked_mse", "simmtm"),
+    "weatherformer": ("elbo", "weatherformer"),
+    "weatherformer_sinusoid": ("elbo_sinusoid", "weatherformer"),
+    "weatherformer_mixture": ("elbo_mixture", "weatherformer"),
+}
+
+
+class PretrainTrainer:
+    def __init__(
+        self,
+        model,
+        model_name: str,
+        model_cfg: ModelConfig,
+        train_cfg: TrainConfig,
+        make_loaders: Callable[[str, bool, int], Iterator[Batch]],
+        workdir: str = "checkpoints/pretraining",
+        mesh=None,
+        pretrained_params=None,
+        resume: bool = False,
+        objective: Optional[str] = None,
+        masking: Optional[str] = None,
+    ):
+        """make_loaders(split, shuffle, seed) -> iterator of Batch."""
+        self.model = model
+        self.model_name = model_name
+        self.model_cfg = model_cfg
+        self.cfg = train_cfg
+        self.make_loaders = make_loaders
+        self.mesh = mesh or make_mesh()
+        self.workdir = workdir
+        if objective is None or masking is None:
+            objective, masking = OBJECTIVE_FOR_MODEL[model_name]
+        self.objective, self.masking = objective, masking
+
+        self.rng = jax.random.PRNGKey(train_cfg.seed)
+        params = self._init_params()
+        if pretrained_params is not None:
+            from weathermodel_tpu.models.transfer import load_pretrained
+
+            params = load_pretrained(model_name, params, pretrained_params)
+        state = create_train_state(params)
+        # Replicate state over the mesh (pure DP; param_sharding_rules can
+        # shard it for TP via parallel.mesh.shard_params).
+        from weathermodel_tpu.parallel.mesh import replicated_sharding
+
+        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+
+        tx = make_optimizer()
+        self._train_step = compile_step(
+            make_train_step(
+                model, self.objective, self.masking,
+                masking_prob=train_cfg.masking_prob, beta=train_cfg.beta,
+                tx=tx,
+            ),
+            self.mesh, donate_state=True,
+        )
+        self._eval_step = compile_step(
+            make_eval_step(
+                model, self.objective, self.masking,
+                masking_prob=train_cfg.masking_prob, beta=train_cfg.beta,
+            ),
+            self.mesh,
+        )
+        self.lr_schedule = epoch_lr_schedule(
+            train_cfg.init_lr, train_cfg.num_warmup_epochs,
+            train_cfg.num_epochs, train_cfg.decay_factor,
+        )
+        self.checkpointer = Checkpointer(workdir)
+        self.start_epoch = 0
+        self.best_val_loss = float("inf")
+        self.output_json = {
+            "model_config": {
+                "model": model_name,
+                "hidden_dim": model_cfg.hidden_dim,
+                "num_layers": model_cfg.num_layers,
+                "num_heads": model_cfg.num_heads,
+                "batch_size": train_cfg.batch_size,
+                "init_lr": train_cfg.init_lr,
+                "num_warmup_epochs": train_cfg.num_warmup_epochs,
+                "decay_factor": train_cfg.decay_factor,
+                "beta": train_cfg.beta,
+                "masking_prob": train_cfg.masking_prob,
+                "n_masked_features": train_cfg.n_masked_features,
+                "n_devices": len(self.mesh.devices.flatten()),
+            },
+            "losses": {"train": {}, "val": {}},
+        }
+        if resume:
+            self._resume()
+
+    def _init_params(self):
+        cfg = self.model_cfg
+        b, t = 2, cfg.max_len
+        import jax.numpy as jnp
+
+        dummy = (
+            jnp.zeros((b, t, cfg.weather_dim)),
+            jnp.zeros((b, 2)),
+            jnp.full((b, t), 1990.0),
+            jnp.full((b, 1), 7.0),
+            jnp.zeros((b, t, cfg.weather_dim), dtype=bool),
+        )
+        self.rng, key = jax.random.split(self.rng)
+        return self.model.init(key, *dummy)
+
+    def _resume(self):
+        if self.checkpointer.latest_epoch() is None:
+            logger.info("No checkpoint to resume from in %s", self.workdir)
+            return
+        self.state, epoch, self.best_val_loss, self.output_json = (
+            self.checkpointer.restore(self.state)
+        )
+        self.start_epoch = epoch + 1
+        logger.info("Resumed from epoch %d (best val %.6f)",
+                    epoch, self.best_val_loss)
+
+    def _run_epoch(self, epoch: int, split: str) -> Dict[str, float]:
+        train = split == "train"
+        cfg = self.cfg
+        n_masked = n_masked_features_for_epoch(
+            cfg, epoch, cfg.n_masked_features
+        )
+        lr = self.lr_schedule(epoch)
+        seed_base = cfg.seed + (epoch * 2 + (0 if train else 1)) * 100003
+        loader = self.make_loaders(split, train, seed_base)
+        sums: Dict[str, float] = {}
+        n_batches = 0
+        key = jax.random.PRNGKey(seed_base)
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            batch = shard_batch(self.mesh, batch)
+            if train:
+                self.state, losses = self._train_step(
+                    self.state, batch, sub, np.float32(lr),
+                    np.int32(n_masked),
+                )
+            else:
+                losses = self._eval_step(
+                    self.state.params, batch, sub, np.int32(n_masked)
+                )
+            n_batches += 1
+            for k, v in losses.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        if n_batches == 0:
+            raise RuntimeError(f"empty {split} loader at epoch {epoch}")
+        return {k: v / n_batches for k, v in sums.items()}
+
+    def train(self) -> Dict[str, float]:
+        cfg = self.cfg
+        for epoch in range(self.start_epoch, cfg.num_epochs):
+            t0 = time.time()
+            train_losses = self._run_epoch(epoch, "train")
+            val_losses = self._run_epoch(epoch, "validation")
+            dt = time.time() - t0
+
+            for scope, losses in (("train", train_losses), ("val", val_losses)):
+                for k, v in losses.items():
+                    self.output_json["losses"][scope].setdefault(k, []).append(v)
+            logger.info(
+                "epoch %d: train %.6f val %.6f lr %.2e n_masked %d (%.1fs)",
+                epoch, train_losses["total_loss"], val_losses["total_loss"],
+                self.lr_schedule(epoch),
+                n_masked_features_for_epoch(cfg, epoch, cfg.n_masked_features),
+                dt,
+            )
+            if val_losses["total_loss"] < self.best_val_loss:
+                self.best_val_loss = val_losses["total_loss"]
+                self.checkpointer.save_best_params(self.state.params)
+            # reference cadence: epochs % 5 == 1 or final (base_trainer.py:110)
+            if epoch % cfg.checkpoint_every == 1 or epoch == cfg.num_epochs - 1:
+                self.checkpointer.save(
+                    epoch, self.state, self.best_val_loss, self.output_json
+                )
+            write_output_json(self.workdir, self.model_name, self.output_json)
+        return {"best_val_loss": self.best_val_loss}
