@@ -58,13 +58,20 @@ def multi_head_attention(
             f"hidden dim {q.shape[-1]} not divisible by num_heads {num_heads}"
         )
     if impl == "pallas":
-        from weathermodel_tpu.ops.pallas_attention import flash_attention
+        if key_padding_mask is None:
+            from weathermodel_tpu.ops.pallas_attention import flash_attention
 
-        if dropout_rate == 0.0:
-            return flash_attention(
-                q, k, v, num_heads=num_heads, key_padding_mask=key_padding_mask
-            )
-        # Attention-weight dropout requires the materialized-score path.
+            seed = None
+            if dropout_rate > 0.0:
+                # derive a scalar seed from the dropout key (in-kernel PRNG)
+                seed = jax.random.key_data(dropout_rng).ravel()[-1].astype(
+                    jnp.int32
+                )
+            return flash_attention(q, k, v, num_heads=num_heads,
+                                   dropout_rate=dropout_rate,
+                                   dropout_seed=seed)
+        # Padding masks use the materialized-score path (they never occur
+        # on the pretraining/yield hot paths).
         return _xla_attention(q, k, v, num_heads, key_padding_mask,
                               dropout_rate, dropout_rng)
     if impl == "xla":

@@ -1,0 +1,232 @@
+"""Fused multi-head attention as a Pallas TPU kernel.
+
+Workload shape (SURVEY.md §5.7): fixed short sequences (T = 365, padded to
+384 = 3*128 lanes) with small head dims (12-36). At these sizes the whole
+[T, T] score matrix of one (batch, head) fits comfortably in VMEM, so the
+optimal design is NOT streaming flash-attention but a fully fused kernel:
+
+    scores  = q @ k^T * scale          (MXU, f32 accum)
+    weights = softmax(scores)          (VPU, f32)
+    weights = dropout(weights)         (in-kernel TPU PRNG, optional)
+    out     = weights @ v              (MXU)
+
+all in VMEM — the XLA path materializes scores+weights in HBM
+(B*nh*T*T*4 bytes each; 2.7 GB at B=512 for WeatherBERT-small), which is
+the measured throughput ceiling. The backward pass recomputes weights AND
+the dropout mask in-kernel (same per-program PRNG seed) instead of saving
+them (custom VJP). Attention-weight dropout matches torch
+nn.MultiheadAttention semantics (dropout=0.1 default the reference trains
+with, weatherbert.py:45-51): drop with prob p, scale survivors by 1/(1-p).
+
+Key padding masks are not supported here (the pretraining/yield hot paths
+never pass one — reference weatherbert.py:116 receives None); callers with
+a mask use the XLA path (ops/attention.py dispatch).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+_NEG_INF = -1e30
+
+# Interpreter-mode switch for CPU tests (pallas kernels only compile on TPU).
+_INTERPRET = False
+
+
+def set_interpret(value: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = value
+
+
+def _pad_len(t: int) -> int:
+    return ((t + LANE - 1) // LANE) * LANE
+
+
+def _softmax_weights(q, k, scale, t_real):
+    """scores -> masked, stabilized softmax weights, all f32 in VMEM."""
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                 # [Tp, Tp]
+    tp = scores.shape[0]
+    if t_real < tp:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < t_real, scores, _NEG_INF)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    w = jnp.exp(scores)
+    return w / jnp.sum(w, axis=-1, keepdims=True)
+
+
+def _dropout_mask(shape, rate):
+    """Keep-mask from the per-core PRNG (seed must already be set).
+    keep iff bits < (1-rate) * 2^32, i.e. with probability 1-rate."""
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(int((1.0 - rate) * 4294967296.0))
+    return pltpu.bitcast(bits, jnp.uint32) < threshold
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_real,
+                dropout_rate):
+    q = q_ref[0].astype(jnp.float32)        # [Tp, hd]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    w = _softmax_weights(q, k, scale, t_real)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        keep = _dropout_mask(w.shape, dropout_rate)
+        w = jnp.where(keep, w / (1.0 - dropout_rate), 0.0)
+    out = jnp.dot(w, v, preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, t_real, dropout_rate):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    tp = q.shape[0]
+    w = _softmax_weights(q, k, scale, t_real)   # [Tp, Tp]
+
+    if dropout_rate > 0.0:
+        # identical PRNG stream as the forward pass
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        keep = _dropout_mask(w.shape, dropout_rate)
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        wd = jnp.where(keep, w * inv_keep, 0.0)
+    else:
+        wd = w
+
+    dv = jax.lax.dot_general(                   # wd^T @ do
+        wd, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwd = jax.lax.dot_general(                  # do @ v^T
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if dropout_rate > 0.0:
+        dw = jnp.where(keep, dwd * inv_keep, 0.0)
+    else:
+        dw = dwd
+    ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    if t_real < tp:
+        col = jax.lax.broadcasted_iota(jnp.int32, ds.shape, 1)
+        ds = jnp.where(col < t_real, ds, 0.0)
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(                   # ds^T @ q
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bh_spec(tp, hd):
+    # index_map takes (*grid_ids, *scalar_prefetch_refs) under
+    # PrefetchScalarGridSpec — hence the *_ sink.
+    return pl.BlockSpec((1, tp, hd), lambda i, *_: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention_bhtd(q, k, v, seed, scale, t_real, dropout_rate):
+    """q/k/v: [BH, Tp, hd] (padded); seed: [1] int32; returns [BH, Tp, hd]."""
+    bh, tp, hd = q.shape
+    spec = _bh_spec(tp, hd)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, t_real=t_real,
+                          dropout_rate=dropout_rate),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * tp * tp * hd,
+            bytes_accessed=4 * bh * tp * hd * 4,
+            transcendentals=bh * tp * tp,
+        ),
+        interpret=_INTERPRET,
+    )(seed, q, k, v)
+
+
+def _attention_fwd(q, k, v, seed, scale, t_real, dropout_rate):
+    out = _attention_bhtd(q, k, v, seed, scale, t_real, dropout_rate)
+    return out, (q, k, v, seed)
+
+
+def _attention_bwd(scale, t_real, dropout_rate, res, do):
+    q, k, v, seed = res
+    bh, tp, hd = q.shape
+    spec = _bh_spec(tp, hd)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, t_real=t_real,
+                          dropout_rate=dropout_rate),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * tp * tp * hd,
+            bytes_accessed=7 * bh * tp * hd * 4,
+            transcendentals=bh * tp * tp,
+        ),
+        interpret=_INTERPRET,
+    )(seed, q, k, v, do)
+    return dq, dk, dv, None
+
+
+_attention_bhtd.defvjp(_attention_fwd, _attention_bwd)
+
+
+def flash_attention(q, k, v, *, num_heads, key_padding_mask=None,
+                    dropout_rate: float = 0.0, dropout_seed=None):
+    """Fused attention. q/k/v: [B, T, hidden]; returns [B, T, hidden].
+
+    dropout_rate is static; dropout_seed is a traced int32 scalar (required
+    when dropout_rate > 0). key_padding_mask must be None (the dispatcher
+    falls back to XLA otherwise).
+    """
+    if key_padding_mask is not None:
+        raise ValueError("pallas attention does not take a padding mask; "
+                         "use the XLA path")
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    b, t, h = q.shape
+    hd = h // num_heads
+    tp = _pad_len(t)
+    scale = 1.0 / (hd ** 0.5)
+
+    def to_bhtd(x):
+        x = x.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+        x = x.reshape(b * num_heads, t, hd)
+        if tp != t:
+            x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+        return x
+
+    if dropout_seed is None:
+        seed = jnp.zeros((1,), dtype=jnp.int32)
+    else:
+        seed = jnp.reshape(dropout_seed, (1,)).astype(jnp.int32)
+
+    out = _attention_bhtd(to_bhtd(q), to_bhtd(k), to_bhtd(v), seed,
+                          scale, t, float(dropout_rate))
+    out = out[:, :t, :].reshape(b, num_heads, t, hd).transpose(0, 2, 1, 3)
+    return out.reshape(b, t, h)
