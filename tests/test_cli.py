@@ -1,0 +1,109 @@
+"""CLI layer tests: pretrain/yield dispatch, grid-search resume semantics,
+best-config selection."""
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pytest
+
+from weathermodel_tpu.cli.grid_search import (
+    GridSearch,
+    append_row,
+    read_completed,
+)
+from weathermodel_tpu.cli.best_config import pick_best_config
+from weathermodel_tpu.cli.pretrain import build_parser as pretrain_parser
+from weathermodel_tpu.cli.yield_main import build_parser as yield_parser
+
+
+def test_pretrain_cli_end_to_end(tmp_path):
+    from weathermodel_tpu.cli.pretrain import run
+    from weathermodel_tpu.data.chunks import write_synthetic_dataset
+
+    d = str(tmp_path / "data")
+    write_synthetic_dataset(d, n_chunks=8, n_samples=48, seq_len=8)
+    args = pretrain_parser().parse_args([
+        "--model", "mlp", "--model-size", "mini", "--n-epochs", "2",
+        "--batch-size", "16", "--n-warmup-epochs", "1",
+        "--data-dir", d, "--attention-impl", "xla",
+        "--compute-dtype", "float32",
+        "--workdir", str(tmp_path / "run"),
+    ])
+    result = run(args)
+    assert np.isfinite(result["best_val_loss"])
+    oj = json.load(open(tmp_path / "run" / "mlp_output.json"))
+    # per-feature MSE logging (reference mlp_trainer.py:38-47)
+    assert "feature_7_mse" in oj["losses"]["train"]
+
+
+def test_yield_cli_unknown_model():
+    from weathermodel_tpu.cli.yield_main import main
+
+    with pytest.raises(ValueError, match="Unknown model type"):
+        main(["--model", "bogus"])
+
+
+def _tiny_yield_args(**over):
+    args = yield_parser().parse_args([])
+    args.model = "linear"
+    args.country = "synthetic"
+    args.n_epochs = 1
+    args.n_past_years = 1
+    args.n_train_years = 8
+    args.cross_validation_k = 1
+    args.batch_size = 32
+    args.n_warmup_epochs = 1
+    args.compute_dtype = "float32"
+    for k, v in over.items():
+        setattr(args, k, v)
+    return args
+
+
+def test_grid_search_runs_and_resumes(tmp_path):
+    args = _tiny_yield_args(out_dir=str(tmp_path))
+    gs = GridSearch(args, str(tmp_path), betas=(0.0,), batch_sizes=(32,),
+                    lrs=(1e-3, 5e-4), n_train_years_list=(8,))
+    tsv = gs.run()
+    rows = open(tsv).read().strip().split("\n")
+    assert len(rows) == 3  # header + 2 cells
+    assert all("±" in r for r in rows[1:])
+
+    # resume: no new rows on a second run
+    gs2 = GridSearch(args, str(tmp_path), betas=(0.0,), batch_sizes=(32,),
+                     lrs=(1e-3, 5e-4), n_train_years_list=(8,))
+    gs2.run()
+    rows2 = open(tsv).read().strip().split("\n")
+    assert len(rows2) == 3
+
+    # detailed JSON has per-fold R^2 + runtime
+    details = json.load(open(gs.json_path))
+    assert len(details) == 2
+    for v in details.values():
+        assert "r_squared" in v and "runtime_seconds" in v
+
+
+def test_grid_search_failed_cell_continues(tmp_path):
+    args = _tiny_yield_args(out_dir=str(tmp_path), crop_type="corn")
+    # synthetic df has no corn_yield -> every cell fails but sweep completes
+    gs = GridSearch(args, str(tmp_path), betas=(0.0,), batch_sizes=(32,),
+                    lrs=(1e-3,), n_train_years_list=(8,))
+    tsv = gs.run()
+    rows = open(tsv).read().strip().split("\n")
+    assert "FAILED" in rows[1]
+
+
+def test_pick_best_config(tmp_path):
+    tsv = str(tmp_path / "g.tsv")
+    base = {"model": "linear", "crop_type": "soybean", "country": "usa",
+            "test_type": "overall", "beta": 0.0, "batch_size": 32,
+            "n_train_years": 15, "status": "OK"}
+    append_row(tsv, {**base, "init_lr": 1e-3, "rmse": "5.0 ± 1.0",
+                     "r2": "0.30 ± 0.1"})
+    append_row(tsv, {**base, "init_lr": 5e-4, "rmse": "4.0 ± 1.0",
+                     "r2": "0.55 ± 0.1"})
+    append_row(tsv, {**base, "init_lr": 1e-4, "rmse": "FAILED",
+                     "r2": "FAILED"})
+    best = pick_best_config(tsv)
+    assert float(best["init_lr"]) == 5e-4

@@ -1,0 +1,176 @@
+"""Pretraining CLI — capability match for reference
+`src/pretraining/pretraining_main.py:20-135` (same flag names, same model
+dispatch). `wm-pretrain --model weatherformer --model-size small ...`
+
+No torchrun/DDP launch step: the train step is compiled over the local
+device mesh automatically (SURVEY.md §2.11 — DDP/NCCL becomes jit+psum).
+"""
+
+import argparse
+import logging
+
+from weathermodel_tpu.utils.config import (
+    ModelConfig,
+    TrainConfig,
+    model_config_for_size,
+)
+
+logger = logging.getLogger(__name__)
+
+PRETRAIN_MODELS = (
+    "weatherbert", "weatherformer", "weatherformersinusoid",
+    "weatherformermixture", "weatherautoencoder", "simmtm", "mlp",
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="weatherformer",
+                   help="one of: " + ", ".join(PRETRAIN_MODELS))
+    p.add_argument("--resume-from-checkpoint", default=None,
+                   help="workdir to resume full training state from")
+    p.add_argument("--pretrained-model-path", default=None,
+                   help="params checkpoint (orbax dir or reference .pth) to "
+                        "transfer from before training")
+    p.add_argument("--batch-size", default=256, type=int)
+    p.add_argument("--n-masked-features", default=10, type=int)
+    p.add_argument("--n-epochs", default=100, type=int)
+    p.add_argument("--init-lr", default=5e-4, type=float)
+    p.add_argument("--use-optimal-lr", action="store_true")
+    p.add_argument("--n-warmup-epochs", default=10, type=int)
+    p.add_argument("--decay-factor", default=0.99, type=float)
+    p.add_argument("--model-size", default="small",
+                   help="mini (60K), small (2M), medium (8M), large (56M)")
+    p.add_argument("--masking-prob", default=0.30, type=float)
+    p.add_argument("--n-mixture-components", default=1, type=int)
+    p.add_argument("--beta", default=0.5, type=float)
+    p.add_argument("--data-dir", default=None,
+                   help="chunk-store root (default: WEATHERMODEL_DATA_DIR)")
+    p.add_argument("--workdir", default="checkpoints/pretraining")
+    p.add_argument("--attention-impl", default="pallas",
+                   choices=("pallas", "xla"),
+                   help="--attention-impl xla disables the fused kernel "
+                        "(numerics debugging; reference = stock torch)")
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"))
+    return p
+
+
+def make_model(name: str, cfg: ModelConfig, attention_impl: str):
+    from weathermodel_tpu.models import (
+        SimMTM,
+        WeatherAutoencoder,
+        WeatherBERT,
+        WeatherFormer,
+        WeatherFormerMixture,
+        WeatherFormerSinusoid,
+    )
+    from weathermodel_tpu.models.mlp import WeatherMLP
+
+    table = {
+        "weatherbert": WeatherBERT,
+        "weatherformer": WeatherFormer,
+        "weatherformersinusoid": WeatherFormerSinusoid,
+        "weatherformermixture": WeatherFormerMixture,
+        "weatherautoencoder": WeatherAutoencoder,
+        "simmtm": SimMTM,
+    }
+    if name == "mlp":
+        return WeatherMLP(cfg)
+    if name not in table:
+        raise ValueError(
+            f"Unknown model type: {name}. Choose one of "
+            + ", ".join(PRETRAIN_MODELS)
+        )
+    return table[name](cfg, attention_impl=attention_impl)
+
+
+# CLI model name -> internal trainer key (OBJECTIVE_FOR_MODEL)
+TRAINER_KEY = {
+    "weatherbert": "weatherbert",
+    "weatherformer": "weatherformer",
+    "weatherformersinusoid": "weatherformer_sinusoid",
+    "weatherformermixture": "weatherformer_mixture",
+    "weatherautoencoder": "weatherautoencoder",
+    "simmtm": "simmtm",
+    "mlp": "mlp",
+}
+
+
+def load_pretrained_params(path: str, num_layers: int):
+    """Accepts an orbax params dir or a reference torch .pth file."""
+    if path.endswith((".pth", ".pt")):
+        from weathermodel_tpu.models.transfer import convert_torch_checkpoint
+
+        return convert_torch_checkpoint(path, num_layers)
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer().restore(path)
+
+
+def run(args: argparse.Namespace) -> dict:
+    from weathermodel_tpu.data.pretraining import (
+        PretrainDataConfig,
+        pretrain_batches,
+    )
+    from weathermodel_tpu.train.trainer import PretrainTrainer
+    from weathermodel_tpu.utils import constants
+
+    k = args.n_mixture_components
+    if args.model == "weatherformersinusoid" and k == 1:
+        k = 4   # model defaults (reference weatherformer_sinusoid.py:22)
+    if args.model == "weatherformermixture" and k == 1:
+        k = 7   # reference weatherformer_mixture.py:24
+
+    mcfg = model_config_for_size(
+        args.model_size, k=k, compute_dtype=args.compute_dtype
+    )
+    tcfg = TrainConfig(
+        batch_size=args.batch_size,
+        num_epochs=args.n_epochs,
+        init_lr=args.init_lr,
+        num_warmup_epochs=int(args.n_warmup_epochs),
+        decay_factor=args.decay_factor,
+        masking_prob=args.masking_prob,
+        n_masked_features=args.n_masked_features,
+        beta=args.beta,
+        use_optimal_lr=args.use_optimal_lr,
+    )
+    dcfg = PretrainDataConfig(
+        data_dir=args.data_dir or constants.DATA_DIR,
+        batch_size=args.batch_size,
+    )
+
+    def make_loaders(split, shuffle, seed):
+        return pretrain_batches(split, dcfg, shuffle=shuffle, seed=seed)
+
+    model = make_model(args.model, mcfg, args.attention_impl)
+    pretrained = None
+    if args.pretrained_model_path:
+        pretrained = load_pretrained_params(
+            args.pretrained_model_path, mcfg.num_layers
+        )
+    trainer = PretrainTrainer(
+        model, TRAINER_KEY[args.model], mcfg, tcfg, make_loaders,
+        workdir=args.workdir,
+        pretrained_params=pretrained,
+        resume=args.resume_from_checkpoint is not None,
+    )
+    return trainer.train()
+
+
+def main():
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(levelname)s - %(message)s",
+    )
+    args = build_parser().parse_args()
+    logger.info("Command-line arguments:")
+    for k, v in vars(args).items():
+        logger.info("%s: %s", k, v)
+    result = run(args)
+    logger.info("Training complete: %s", result)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Crop-yield CLI — capability match for reference
+`src/crop_yield/yield_main.py:12-253` (same flags, same model dispatch,
+same RMSE-bu/acre + R^2 aggregation). Runs k-fold cross-validation over
+the fold->test-year tables and prints/returns per-crop metrics.
+"""
+
+import argparse
+import logging
+from typing import Optional
+
+from weathermodel_tpu.utils.config import TrainConfig, model_config_for_size
+
+logger = logging.getLogger(__name__)
+
+YIELD_MODELS = (
+    "weatherbert", "weatherformer", "weatherformersinusoid",
+    "weatherformermixture", "weatherautoencoder", "simmtm", "linear",
+)
+
+# model name -> (yield model class factory, objective)
+def _model_table():
+    from weathermodel_tpu.models.yield_models import (
+        LinearYieldModel,
+        WeatherBERTYieldModel,
+        WeatherFormerMixtureYieldModel,
+        WeatherFormerSinusoidYieldModel,
+        WeatherFormerYieldModel,
+    )
+
+    return {
+        "weatherbert": (WeatherBERTYieldModel, "mse"),
+        "weatherautoencoder": (WeatherBERTYieldModel, "mse"),
+        "simmtm": (WeatherBERTYieldModel, "mse"),
+        "weatherformer": (WeatherFormerYieldModel, "elbo"),
+        "weatherformersinusoid": (WeatherFormerSinusoidYieldModel,
+                                  "elbo_sinusoid"),
+        "weatherformermixture": (WeatherFormerMixtureYieldModel,
+                                 "elbo_mixture"),
+        "linear": (LinearYieldModel, "mse"),
+    }
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="weatherformer",
+                   help="one of: " + ", ".join(YIELD_MODELS))
+    p.add_argument("--batch-size", default=64, type=int)
+    p.add_argument("--n-past-years", default=6, type=int)
+    p.add_argument("--n-epochs", default=40, type=int)
+    p.add_argument("--init-lr", default=5e-4, type=float)
+    p.add_argument("--decay_factor", "--decay-factor", dest="decay_factor",
+                   default=None, type=float)
+    p.add_argument("--n-warmup-epochs", default=10, type=int)
+    p.add_argument("--pretrained-model-path", default=None)
+    p.add_argument("--model-size", default="small")
+    p.add_argument("--n-train-years", default=5, type=int)
+    p.add_argument("--beta", default=1e-4, type=float)
+    p.add_argument("--n-mixture-components", default=1, type=int)
+    p.add_argument("--crop-type", default="soybean")
+    p.add_argument("--country", default="usa")
+    p.add_argument("--test-type", default="overall",
+                   choices=("overall", "extreme", "ahead_pred"))
+    p.add_argument("--cross-validation-k", default=5, type=int)
+    p.add_argument("--use-optimal-lr", action="store_true")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--attention-impl", default="pallas",
+                   choices=("pallas", "xla"))
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=("bfloat16", "float32"))
+    p.add_argument("--seed", default=1234, type=int)
+    return p
+
+
+def run(args) -> dict:
+    """Returns the aggregated CV dict + (avg_rmse, std_rmse, avg_r2, std_r2)
+    (reference yield_main.py:230-253 contract)."""
+    import pandas as pd
+
+    from weathermodel_tpu.data.yield_data import (
+        read_non_us_dataset,
+        read_usa_dataset,
+        synthetic_yield_df,
+    )
+    from weathermodel_tpu.train.yield_trainer import YieldCrossValidator
+    from weathermodel_tpu.utils import constants
+
+    data_dir = args.data_dir or constants.DATA_DIR
+    if getattr(args, "crop_df", None) is not None:
+        crop_df = args.crop_df  # injected (grid search / tests)
+    elif args.country.lower() == "usa":
+        crop_df = read_usa_dataset(data_dir)
+    elif args.country.lower() == "synthetic":
+        crop_df = synthetic_yield_df(seed=args.seed)
+    else:
+        crop_df = read_non_us_dataset(data_dir, args.country.lower())
+
+    k = args.n_mixture_components
+    if args.model == "weatherformersinusoid" and k == 1:
+        k = 4
+    if args.model == "weatherformermixture" and k == 1:
+        k = 7
+
+    seq_len = (args.n_past_years + 1) * 52
+    mcfg = model_config_for_size(
+        args.model_size, k=k, max_len=seq_len,
+        compute_dtype=args.compute_dtype,
+    )
+    tcfg = TrainConfig(
+        batch_size=args.batch_size,
+        num_epochs=args.n_epochs,
+        init_lr=args.init_lr,
+        num_warmup_epochs=args.n_warmup_epochs,
+        decay_factor=args.decay_factor,
+        beta=args.beta,
+        use_optimal_lr=args.use_optimal_lr,
+        seed=args.seed,
+    )
+
+    model_cls, objective = _model_table()[args.model]
+    if args.model == "linear":
+        def make_model():
+            return model_cls(mcfg, n_past_years=args.n_past_years,
+                             seq_len=seq_len)
+    else:
+        def make_model():
+            return model_cls(mcfg, n_past_years=args.n_past_years,
+                             attention_impl=args.attention_impl)
+
+    pretrained = None
+    if args.pretrained_model_path:
+        from weathermodel_tpu.cli.pretrain import load_pretrained_params
+
+        pretrained = load_pretrained_params(
+            args.pretrained_model_path, mcfg.num_layers
+        )
+
+    # synthetic data standardizes like USA (in-dataset z-score)
+    country = "usa" if args.country.lower() == "synthetic" else args.country.lower()
+    cv = YieldCrossValidator(
+        make_model=make_model, model_cfg=mcfg, train_cfg=tcfg,
+        objective=objective, crop_df=crop_df, country=country,
+        crop_type=args.crop_type, n_train_years=args.n_train_years,
+        n_past_years=args.n_past_years, test_type=args.test_type,
+        k_folds=args.cross_validation_k,
+        pretrained_encoder_params=pretrained,
+    )
+    results = cv.run()
+    logger.info(
+        "Final average best RMSE for %s: %.3f +/- %.3f",
+        args.crop_type, results["avg_rmse_bu_acre"],
+        results["std_rmse_bu_acre"],
+    )
+    logger.info(
+        "Final average R^2 for %s: %.3f +/- %.3f",
+        args.crop_type, results["avg_r_squared"], results["std_r_squared"],
+    )
+    return results
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(levelname)s - %(message)s",
+    )
+    args = build_parser().parse_args(argv)
+    if args.model not in YIELD_MODELS:
+        raise ValueError(
+            f"Unknown model type: {args.model}. Choose one of "
+            + ", ".join(YIELD_MODELS)
+        )
+    return run(args)
+
+
+if __name__ == "__main__":
+    main()

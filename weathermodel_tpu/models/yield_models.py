@@ -185,6 +185,13 @@ def transfer_encoder_into_yield(yield_params, encoder_params):
     from weathermodel_tpu.models.transfer import load_pretrained
 
     tgt = dict(yield_params["params"])
+    if "weather_model" not in tgt:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "model has no weather_model subtree; skipping pretrained transfer"
+        )
+        return yield_params
     wm = {"params": tgt["weather_model"]}
     merged = load_pretrained("weather_model", wm, encoder_params,
                              load_out_proj=True)

@@ -45,7 +45,8 @@ class Batch(NamedTuple):
     interval: jnp.ndarray  # [B, 1]
 
 
-OBJECTIVES = ("masked_mse", "elbo", "elbo_sinusoid", "elbo_mixture")
+OBJECTIVES = ("masked_mse", "elbo", "elbo_sinusoid", "elbo_mixture",
+              "mlp_mse")
 
 
 def _objective_losses(model, objective, params, batch, mask, beta,
@@ -59,6 +60,19 @@ def _objective_losses(model, objective, params, batch, mask, beta,
         msum = jnp.sum(mask)
         total = jnp.sum(se * mask) / jnp.maximum(msum, 1)
         return {"total_loss": total}
+
+    if objective == "mlp_mse":
+        # Full-sequence MSE on the 6 fixed crop-relevant features, plus
+        # per-feature MSEs (reference mlp_trainer.py:49-85). The mask input
+        # is ignored by design.
+        from weathermodel_tpu.models.mlp import MLP_TARGET_FEATURES
+
+        target = batch.weather[:, :, list(MLP_TARGET_FEATURES)]
+        feature_losses = jnp.mean(jnp.square(outputs - target), axis=(0, 1))
+        result = {"total_loss": jnp.mean(feature_losses)}
+        for i, feat in enumerate(MLP_TARGET_FEATURES):
+            result[f"feature_{feat}_mse"] = feature_losses[i]
+        return result
 
     # Variational objectives: per-sample sums normalized by the batch-mean
     # masked count (reference weatherformer_trainer.py:90-99).

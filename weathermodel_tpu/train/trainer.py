@@ -42,6 +42,7 @@ OBJECTIVE_FOR_MODEL = {
     "weatherformer": ("elbo", "weatherformer"),
     "weatherformer_sinusoid": ("elbo_sinusoid", "weatherformer"),
     "weatherformer_mixture": ("elbo_mixture", "weatherformer"),
+    "mlp": ("mlp_mse", "weatherbert"),  # mask generated but ignored
 }
 
 
@@ -185,8 +186,46 @@ class PretrainTrainer:
             raise RuntimeError(f"empty {split} loader at epoch {epoch}")
         return {k: v / n_batches for k, v in sums.items()}
 
+    def _maybe_find_optimal_lr(self):
+        """LR range test on a throwaway state copy (reference
+        base_trainer.py:418-441 + find_optimal_lr.py)."""
+        if not self.cfg.use_optimal_lr:
+            return
+        import jax.numpy as jnp
+
+        from weathermodel_tpu.train.lr_finder import find_optimal_lr
+        from weathermodel_tpu.utils.constants import DRY_RUN
+
+        throwaway = jax.tree.map(jnp.copy, self.state)
+        key_holder = {"key": jax.random.PRNGKey(self.cfg.seed + 999)}
+
+        def run_step(batch, lr):
+            nonlocal throwaway
+            key_holder["key"], sub = jax.random.split(key_holder["key"])
+            batch = shard_batch(self.mesh, batch)
+            throwaway, losses = self._train_step(
+                throwaway, batch, sub, np.float32(lr),
+                np.int32(self.cfg.n_masked_features),
+            )
+            return float(losses["total_loss"])
+
+        optimal, _, _ = find_optimal_lr(
+            run_step, self.make_loaders("train", True, self.cfg.seed),
+            num_iter=5 if DRY_RUN else 100,
+        )
+        del throwaway
+        logger.info("Using optimal LR %.3e (was %.3e)", optimal,
+                    self.cfg.init_lr)
+        self.lr_schedule = epoch_lr_schedule(
+            optimal, self.cfg.num_warmup_epochs, self.cfg.num_epochs,
+            self.cfg.decay_factor,
+        )
+        self.output_json["model_config"]["optimal_lr"] = optimal
+
     def train(self) -> Dict[str, float]:
         cfg = self.cfg
+        if self.start_epoch == 0:
+            self._maybe_find_optimal_lr()
         for epoch in range(self.start_epoch, cfg.num_epochs):
             t0 = time.time()
             train_losses = self._run_epoch(epoch, "train")

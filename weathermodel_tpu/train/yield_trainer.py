@@ -288,8 +288,46 @@ class YieldTrainer:
             raise RuntimeError("empty yield loader")
         return {k: v / n_batches for k, v in sums.items()}
 
+    def _maybe_find_optimal_lr(self):
+        if not self.cfg.use_optimal_lr:
+            return
+        from weathermodel_tpu.train.lr_finder import find_optimal_lr
+        from weathermodel_tpu.utils.constants import DRY_RUN
+
+        throwaway = jax.tree.map(jnp.copy, self.state)
+        key_holder = {"key": jax.random.PRNGKey(self.cfg.seed + 999)}
+
+        def run_step(item, lr):
+            nonlocal throwaway
+            arr_batch, weights = item
+            key_holder["key"], sub = jax.random.split(key_holder["key"])
+            batch = YieldBatch(
+                weather=arr_batch.weather, coords=arr_batch.coords,
+                year=arr_batch.year, interval=arr_batch.interval,
+                mask=arr_batch.mask, y_past=arr_batch.y_past,
+                y=arr_batch.y, weights=weights,
+            )
+            throwaway, losses = self._train_step(
+                throwaway, batch, sub, np.float32(lr)
+            )
+            return float(losses["total_loss"])
+
+        optimal, _, _ = find_optimal_lr(
+            run_step,
+            yield_batches(self.train_arrays, self.cfg.batch_size, True,
+                          self.cfg.seed),
+            num_iter=5 if DRY_RUN else 100,
+        )
+        del throwaway
+        logger.info("Yield LR finder selected %.3e", optimal)
+        self.lr_schedule = epoch_lr_schedule(
+            optimal, self.cfg.num_warmup_epochs, self.cfg.num_epochs,
+            self.cfg.decay_factor,
+        )
+
     def train(self) -> float:
         best = float("inf")
+        self._maybe_find_optimal_lr()
         for epoch in range(self.cfg.num_epochs):
             tr = self._epoch(epoch, train=True)
             va = self._epoch(epoch, train=False)
