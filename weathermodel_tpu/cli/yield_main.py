@@ -15,6 +15,7 @@ logger = logging.getLogger(__name__)
 YIELD_MODELS = (
     "weatherbert", "weatherformer", "weatherformersinusoid",
     "weatherformermixture", "weatherautoencoder", "simmtm", "linear",
+    "cnnrnn",
 )
 
 # model name -> (yield model class factory, objective)
@@ -27,6 +28,8 @@ def _model_table():
         WeatherFormerYieldModel,
     )
 
+    from weathermodel_tpu.models.cnn import CNNRNNYieldModel
+
     return {
         "weatherbert": (WeatherBERTYieldModel, "mse"),
         "weatherautoencoder": (WeatherBERTYieldModel, "mse"),
@@ -37,6 +40,7 @@ def _model_table():
         "weatherformermixture": (WeatherFormerMixtureYieldModel,
                                  "elbo_mixture"),
         "linear": (LinearYieldModel, "mse"),
+        "cnnrnn": (CNNRNNYieldModel, "mse"),
     }
 
 
@@ -121,6 +125,10 @@ def run(args) -> dict:
         def make_model():
             return model_cls(mcfg, n_past_years=args.n_past_years,
                              seq_len=seq_len)
+    elif args.model == "cnnrnn":
+        def make_model():
+            return model_cls(weather_dim=mcfg.weather_dim,
+                             n_past_years=args.n_past_years)
     else:
         def make_model():
             return model_cls(mcfg, n_past_years=args.n_past_years,

@@ -68,7 +68,8 @@ class WeatherBERTYieldModel(nn.Module):
 
     @nn.compact
     def __call__(self, weather, coords, year, interval, weather_feature_mask,
-                 y_past, deterministic: bool = True):
+                 y_past, soil=None, practices=None,
+                 deterministic: bool = True):
         predicted = WeatherBERT(
             self.cfg, self.attention_impl, name="weather_model"
         )(weather, coords, year, interval, weather_feature_mask,
@@ -107,7 +108,8 @@ class WeatherFormerYieldModel(nn.Module):
 
     @nn.compact
     def __call__(self, weather, coords, year, interval, weather_feature_mask,
-                 y_past, deterministic: bool = True):
+                 y_past, soil=None, practices=None,
+                 deterministic: bool = True):
         mu_x, var_x = self.encode(weather, coords, year, interval,
                                   weather_feature_mask, deterministic)
         sample_key = self.make_rng("sample")
@@ -128,7 +130,8 @@ class WeatherFormerSinusoidYieldModel(WeatherFormerYieldModel):
 
     @nn.compact
     def __call__(self, weather, coords, year, interval, weather_feature_mask,
-                 y_past, deterministic: bool = True):
+                 y_past, soil=None, practices=None,
+                 deterministic: bool = True):
         mu_x, var_x, mu_p, var_p = self.encode(
             weather, coords, year, interval, weather_feature_mask,
             deterministic)
@@ -150,7 +153,8 @@ class WeatherFormerMixtureYieldModel(WeatherFormerYieldModel):
 
     @nn.compact
     def __call__(self, weather, coords, year, interval, weather_feature_mask,
-                 y_past, deterministic: bool = True):
+                 y_past, soil=None, practices=None,
+                 deterministic: bool = True):
         mu_x, var_x, mu_k, var_k, log_w_k = self.encode(
             weather, coords, year, interval, weather_feature_mask,
             deterministic)
@@ -170,7 +174,8 @@ class LinearYieldModel(nn.Module):
 
     @nn.compact
     def __call__(self, weather, coords, year, interval, weather_feature_mask,
-                 y_past, deterministic: bool = True):
+                 y_past, soil=None, practices=None,
+                 deterministic: bool = True):
         b = weather.shape[0]
         x = (weather * (~weather_feature_mask)).reshape(b, -1)
         x = jnp.concatenate([x, y_past], axis=1)

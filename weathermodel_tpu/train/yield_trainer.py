@@ -102,6 +102,8 @@ class YieldBatch(NamedTuple):
     y_past: jnp.ndarray     # [B, n_years]
     y: jnp.ndarray          # [B, 1]
     weights: jnp.ndarray    # [B] 1 = real sample, 0 = padding
+    soil: jnp.ndarray       # [B, n_years, 11, 6] (CNN-RNN path)
+    practices: jnp.ndarray  # [B, n_years, 14]
 
 
 def _wmean(x, w):
@@ -115,7 +117,8 @@ def _yield_losses(model, objective, params, batch: YieldBatch, beta,
                   deterministic, rngs):
     outputs = model.apply(
         params, batch.weather, batch.coords, batch.year, batch.interval,
-        batch.mask, batch.y_past, deterministic=deterministic, rngs=rngs,
+        batch.mask, batch.y_past, soil=batch.soil,
+        practices=batch.practices, deterministic=deterministic, rngs=rngs,
     )
     w = batch.weights
     if objective == "mse":
@@ -179,7 +182,8 @@ def make_yield_eval_step(model, objective: str):
     def eval_step(params, batch: YieldBatch, key):
         outputs = model.apply(
             params, batch.weather, batch.coords, batch.year, batch.interval,
-            batch.mask, batch.y_past, deterministic=True,
+            batch.mask, batch.y_past, soil=batch.soil,
+            practices=batch.practices, deterministic=True,
             rngs={"sample": key} if objective != "mse" else None,
         )
         pred = outputs if objective == "mse" else outputs[0]
@@ -274,6 +278,7 @@ class YieldTrainer:
                 year=arr_batch.year, interval=arr_batch.interval,
                 mask=arr_batch.mask, y_past=arr_batch.y_past,
                 y=arr_batch.y, weights=weights,
+                soil=arr_batch.soil, practices=arr_batch.practices,
             )
             if train:
                 self.state, losses = self._train_step(
@@ -306,6 +311,7 @@ class YieldTrainer:
                 year=arr_batch.year, interval=arr_batch.interval,
                 mask=arr_batch.mask, y_past=arr_batch.y_past,
                 y=arr_batch.y, weights=weights,
+                soil=arr_batch.soil, practices=arr_batch.practices,
             )
             throwaway, losses = self._train_step(
                 throwaway, batch, sub, np.float32(lr)
