@@ -63,6 +63,8 @@ def train_single_crop(crop_type: str, args) -> Tuple[float, float]:
     model_cls, objective = _model_table()[args.model]
     if args.model == "linear":
         model = model_cls(mcfg, n_past_years=n_past, seq_len=seq_len)
+    elif args.model == "cnnrnn":
+        model = model_cls(weather_dim=mcfg.weather_dim, n_past_years=n_past)
     else:
         model = model_cls(mcfg, n_past_years=n_past,
                           attention_impl=args.attention_impl)
