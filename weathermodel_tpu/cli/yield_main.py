@@ -14,20 +14,64 @@ logger = logging.getLogger(__name__)
 
 YIELD_MODELS = (
     "weatherbert", "weatherformer", "weatherformersinusoid",
-    "weatherformermixture", "weatherautoencoder", "simmtm", "linear",
-    "cnnrnn",
+    "weatherformermixture", "weatherautoencoder", "weatherautoencodersine",
+    "weatherautoencodermixture", "simmtm", "linear", "cnnrnn", "gnnrnn",
+    "chronos",
 )
+
+
+def _run_gnnrnn_cv(args, crop_df, country: str) -> dict:
+    """GNN-RNN takes its own full-graph data/trainer path (see
+    weathermodel_tpu/train/gnn_trainer.py); the fold->test-year mapping and
+    RMSE/R^2 aggregation match the shared CV contract."""
+    from weathermodel_tpu.data.gnnrnn_data import get_gnn_train_test_arrays
+    from weathermodel_tpu.models.gnn import GNNRNNYieldModel
+    from weathermodel_tpu.train.gnn_trainer import GNNYieldTrainer
+    from weathermodel_tpu.train.yield_trainer import (
+        YieldFoldResult,
+        aggregate_cv_results,
+        select_test_years,
+    )
+    from weathermodel_tpu.utils.config import TrainConfig
+
+    years = select_test_years(args.test_type, country, args.crop_type)
+    tcfg = TrainConfig(
+        batch_size=args.batch_size, num_epochs=args.n_epochs,
+        init_lr=args.init_lr, num_warmup_epochs=args.n_warmup_epochs,
+        decay_factor=args.decay_factor, seed=args.seed,
+    )
+    fold_results = []
+    for fold in range(args.cross_validation_k):
+        test_year = years[fold % len(years)]
+        train_arr, test_arr, stats, n_past = get_gnn_train_test_arrays(
+            crop_df, args.n_train_years, test_year, args.n_past_years,
+            args.crop_type, country,
+        )
+        trainer = GNNYieldTrainer(
+            GNNRNNYieldModel(n_past_years=n_past), tcfg, train_arr, test_arr
+        )
+        best = trainer.train()
+        fold_results.append(YieldFoldResult(
+            test_year=test_year, best_val_rmse=best, yield_stats=stats,
+            loss_history=trainer.loss_history,
+        ))
+        logger.info("gnnrnn fold %d test_year=%d RMSE %.2f bu/acre",
+                    fold + 1, test_year, fold_results[-1].rmse_bu_acre)
+    return aggregate_cv_results(fold_results)
 
 # model name -> (yield model class factory, objective)
 def _model_table():
     from weathermodel_tpu.models.yield_models import (
         LinearYieldModel,
+        WeatherAutoencoderMixtureYieldModel,
+        WeatherAutoencoderSineYieldModel,
         WeatherBERTYieldModel,
         WeatherFormerMixtureYieldModel,
         WeatherFormerSinusoidYieldModel,
         WeatherFormerYieldModel,
     )
 
+    from weathermodel_tpu.models.chronos import ChronosYieldModel
     from weathermodel_tpu.models.cnn import CNNRNNYieldModel
 
     return {
@@ -39,8 +83,13 @@ def _model_table():
                                   "elbo_sinusoid"),
         "weatherformermixture": (WeatherFormerMixtureYieldModel,
                                  "elbo_mixture"),
+        "weatherautoencodersine": (WeatherAutoencoderSineYieldModel,
+                                   "elbo_sinusoid"),
+        "weatherautoencodermixture": (WeatherAutoencoderMixtureYieldModel,
+                                      "elbo_mixture"),
         "linear": (LinearYieldModel, "mse"),
         "cnnrnn": (CNNRNNYieldModel, "mse"),
+        "chronos": (ChronosYieldModel, "mse"),
     }
 
 
@@ -120,6 +169,15 @@ def run(args) -> dict:
         seed=args.seed,
     )
 
+    # synthetic data standardizes like USA (in-dataset z-score)
+    country = "usa" if args.country.lower() == "synthetic" else args.country.lower()
+    if args.model == "gnnrnn":
+        results = _run_gnnrnn_cv(args, crop_df, country)
+        logger.info("Final average best RMSE for %s: %.3f +/- %.3f",
+                    args.crop_type, results["avg_rmse_bu_acre"],
+                    results["std_rmse_bu_acre"])
+        return results
+
     model_cls, objective = _model_table()[args.model]
     if args.model == "linear":
         def make_model():
@@ -142,8 +200,6 @@ def run(args) -> dict:
             args.pretrained_model_path, mcfg.num_layers
         )
 
-    # synthetic data standardizes like USA (in-dataset z-score)
-    country = "usa" if args.country.lower() == "synthetic" else args.country.lower()
     cv = YieldCrossValidator(
         make_model=make_model, model_cfg=mcfg, train_cfg=tcfg,
         objective=objective, crop_df=crop_df, country=country,

@@ -164,6 +164,108 @@ class WeatherFormerMixtureYieldModel(WeatherFormerYieldModel):
         return out, z, mu_x, var_x, mu_k, var_k, log_w_k
 
 
+class WeatherAutoencoderSineYieldModel(nn.Module):
+    """Deterministic (autoencoder) encoder + post-hoc variational head with
+    a learnable sinusoidal prior (reference
+    weatherautoencoder_sine_yield_model.py:10-111):
+      mu_x = impute(weather, encoder(x), mask); var_x = exp(MLP(mu_x));
+      prior mu_p = A_p * sin(Linear(pos)), var_p = exp(log_var_p);
+      z = mu_x + sqrt(var_x)*eps, re-imputed; yield head on z.
+    Returns (yield, z, mu_x, var_x, mu_p, var_p).
+
+    NOTE: the reference class reads `self.yield_model.max_len` where
+    yield_model is a METHOD (reference :32) and would raise at
+    construction — this is a working re-design of the documented intent
+    (SURVEY.md §7 quirks), using cfg.max_len.
+    """
+
+    cfg: ModelConfig
+    n_past_years: int
+    attention_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, weather, coords, year, interval, weather_feature_mask,
+                 y_past, soil=None, practices=None,
+                 deterministic: bool = True):
+        from weathermodel_tpu.models.weatherformer import _normal_init
+
+        cfg = self.cfg
+        b, t, f = weather.shape
+        pred = WeatherBERT(cfg, self.attention_impl, name="weather_model")(
+            weather, coords, year, interval, weather_feature_mask,
+            deterministic=deterministic,
+        )
+        mu_x = _impute(weather, pred, weather_feature_mask)
+        h = torch_dense(4 * f, f, name="log_var_fc1")(mu_x)
+        log_var_x = torch_dense(f, 4 * f, name="log_var_fc2")(nn.gelu(h))
+        var_x = jnp.clip(jnp.exp(log_var_x), 1e-8, 1.0)
+
+        # sinusoidal prior over positions
+        positions = jnp.arange(cfg.max_len, dtype=jnp.float32)[None, :, None]
+        theta = torch_dense(f, 1, name="theta_p")(positions)  # [1, L, F]
+        a_p = self.param("A_p", _normal_init(0.1), (1, cfg.max_len, f))
+        log_var_p = self.param("log_var_p", _normal_init(0.1, -1.0),
+                               (1, cfg.max_len, f))
+        mu_p = (a_p * jnp.sin(theta))[:, :t]
+        mu_p = jnp.broadcast_to(mu_p, (b, t, f))
+        var_p = jnp.clip(jnp.exp(log_var_p[:, :t]), 1e-8, 1.0)
+        var_p = jnp.broadcast_to(var_p, (b, t, f))
+
+        eps = jax.random.normal(self.make_rng("sample"), mu_x.shape)
+        z = _impute(weather, mu_x + jnp.sqrt(var_x) * eps,
+                    weather_feature_mask)
+        out = _YieldHead(cfg, self.n_past_years, name="yield_head")(z, y_past)
+        return out, z, mu_x, var_x, mu_p, var_p
+
+
+class WeatherAutoencoderMixtureYieldModel(nn.Module):
+    """Deterministic encoder + learnable Gaussian-mixture prior (reference
+    weatherautoencoder_mixture_yield_model.py:10-96). Returns
+    (yield, z, mu_x, var_x, mu_k, var_k, log_w_k).
+
+    NOTE: the reference model returns NO mixture weights while its trainer's
+    mixture KL requires them (TypeError at the first batch — SURVEY.md §7
+    quirks). This working re-design adds the missing uniform log-weights
+    log(1/k) so the documented intent (mixture KL on sampled z) runs.
+    """
+
+    cfg: ModelConfig
+    n_past_years: int
+    attention_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, weather, coords, year, interval, weather_feature_mask,
+                 y_past, soil=None, practices=None,
+                 deterministic: bool = True):
+        from weathermodel_tpu.models.weatherformer import _normal_init
+
+        cfg = self.cfg
+        k = cfg.k
+        b, t, f = weather.shape
+        pred = WeatherBERT(cfg, self.attention_impl, name="weather_model")(
+            weather, coords, year, interval, weather_feature_mask,
+            deterministic=deterministic,
+        )
+        mu_x = _impute(weather, pred, weather_feature_mask)
+        h = torch_dense(4 * f, f, name="log_var_fc1")(mu_x)
+        log_var_x = torch_dense(f, 4 * f, name="log_var_fc2")(nn.gelu(h))
+        var_x = jnp.clip(jnp.exp(log_var_x), 1e-8, 1.0)
+
+        mu_k = self.param("mu_k", _normal_init(0.1), (k, cfg.max_len, f))
+        log_var_k = self.param("log_var_k", _normal_init(0.1, -1.0),
+                               (k, cfg.max_len, f))
+        mu_k_b = jnp.broadcast_to(mu_k[None, :, :t], (b, k, t, f))
+        var_k = jnp.clip(jnp.exp(log_var_k[None, :, :t]), 1e-8, 1.0)
+        var_k_b = jnp.broadcast_to(var_k, (b, k, t, f))
+        log_w_k = jnp.full((b, k), -jnp.log(float(k)))
+
+        eps = jax.random.normal(self.make_rng("sample"), mu_x.shape)
+        z = _impute(weather, mu_x + jnp.sqrt(var_x) * eps,
+                    weather_feature_mask)
+        out = _YieldHead(cfg, self.n_past_years, name="yield_head")(z, y_past)
+        return out, z, mu_x, var_x, mu_k_b, var_k_b, log_w_k
+
+
 class LinearYieldModel(nn.Module):
     """Single Linear on flattened masked weather + y_past
     (reference linear_yield_model.py:8-80)."""

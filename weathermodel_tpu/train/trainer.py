@@ -109,6 +109,7 @@ class PretrainTrainer:
         self.checkpointer = Checkpointer(workdir)
         self.start_epoch = 0
         self.best_val_loss = float("inf")
+        self._last_epoch_batches = 0
         self.output_json = {
             "model_config": {
                 "model": model_name,
@@ -184,6 +185,8 @@ class PretrainTrainer:
                 sums[k] = sums.get(k, 0.0) + float(v)
         if n_batches == 0:
             raise RuntimeError(f"empty {split} loader at epoch {epoch}")
+        if train:
+            self._last_epoch_batches = n_batches
         return {k: v / n_batches for k, v in sums.items()}
 
     def _maybe_find_optimal_lr(self):
@@ -226,11 +229,28 @@ class PretrainTrainer:
         cfg = self.cfg
         if self.start_epoch == 0:
             self._maybe_find_optimal_lr()
+        # Profiling hook (SURVEY.md §5.1 — the reference has none; we expose
+        # jax.profiler traces + samples/sec/chip, the bench north star).
+        import os as _os
+
+        profile_dir = _os.environ.get("WEATHERMODEL_PROFILE_DIR")
+        n_chips = len(self.mesh.devices.flatten())
         for epoch in range(self.start_epoch, cfg.num_epochs):
             t0 = time.time()
+            if profile_dir and epoch == self.start_epoch + 1:
+                jax.profiler.start_trace(profile_dir)
             train_losses = self._run_epoch(epoch, "train")
+            if profile_dir and epoch == self.start_epoch + 1:
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to %s", profile_dir)
+            train_time = time.time() - t0
             val_losses = self._run_epoch(epoch, "validation")
             dt = time.time() - t0
+            samples = self._last_epoch_batches * cfg.batch_size
+            rate = samples / max(train_time, 1e-9) / n_chips
+            m = self.output_json.setdefault("metrics", {})
+            m.setdefault("train_samples_per_sec_per_chip", []).append(rate)
+            m.setdefault("epoch_seconds", []).append(dt)
 
             for scope, losses in (("train", train_losses), ("val", val_losses)):
                 for k, v in losses.items():
