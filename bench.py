@@ -37,7 +37,7 @@ def main():
     size = os.environ.get("BENCH_MODEL_SIZE", "small")
     batch_per_chip = int(os.environ.get("BENCH_BATCH_PER_CHIP", "512"))
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
-    attention_impl = os.environ.get("BENCH_ATTENTION", "xla")
+    attention_impl = os.environ.get("BENCH_ATTENTION", "pallas")
 
     n_chips = len(jax.devices())
     mesh = make_mesh()  # all chips on 'data'

@@ -33,6 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 _NEG_INF = -1e30
 
+# Batch-heads processed per grid program. One (batch, head) is only ~0.4us
+# of MXU work at these shapes, so per-program overhead dominates a
+# one-(b,h)-per-program grid (B=512 x 10 heads = 5120 programs); looping
+# over a block of BLOCK_BH inside each program amortizes it while keeping
+# VMEM small (one [Tp, Tp] f32 score buffer at a time).
+BLOCK_BH = 8
+# The backward kernel keeps ~3x more [Tp, Tp] f32 temporaries live; a
+# smaller block keeps it inside the 16MB VMEM scoped limit.
+BLOCK_BH_BWD = 4
+
 # Interpreter-mode switch for CPU tests (pallas kernels only compile on TPU).
 _INTERPRET = False
 
@@ -70,84 +80,95 @@ def _dropout_mask(shape, rate):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_real,
-                dropout_rate):
-    q = q_ref[0].astype(jnp.float32)        # [Tp, hd]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    w = _softmax_weights(q, k, scale, t_real)
-    if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        keep = _dropout_mask(w.shape, dropout_rate)
-        w = jnp.where(keep, w / (1.0 - dropout_rate), 0.0)
-    out = jnp.dot(w, v, preferred_element_type=jnp.float32)
-    o_ref[0] = out.astype(o_ref.dtype)
+                dropout_rate, block_bh):
+    def body(i, _):
+        q = q_ref[i].astype(jnp.float32)        # [Tp, hd]
+        k = k_ref[i].astype(jnp.float32)
+        v = v_ref[i].astype(jnp.float32)
+        w = _softmax_weights(q, k, scale, t_real)
+        if dropout_rate > 0.0:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * block_bh + i)
+            keep = _dropout_mask(w.shape, dropout_rate)
+            w = jnp.where(keep, w / (1.0 - dropout_rate), 0.0)
+        out = jnp.dot(w, v, preferred_element_type=jnp.float32)
+        o_ref[i] = out.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, block_bh, body, 0)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, t_real, dropout_rate):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    tp = q.shape[0]
-    w = _softmax_weights(q, k, scale, t_real)   # [Tp, Tp]
+                dq_ref, dk_ref, dv_ref, *, scale, t_real, dropout_rate,
+                block_bh):
+    def body(i, _):
+        q = q_ref[i].astype(jnp.float32)
+        k = k_ref[i].astype(jnp.float32)
+        v = v_ref[i].astype(jnp.float32)
+        do = do_ref[i].astype(jnp.float32)
+        tp = q.shape[0]
+        w = _softmax_weights(q, k, scale, t_real)   # [Tp, Tp]
 
-    if dropout_rate > 0.0:
-        # identical PRNG stream as the forward pass
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        keep = _dropout_mask(w.shape, dropout_rate)
-        inv_keep = 1.0 / (1.0 - dropout_rate)
-        wd = jnp.where(keep, w * inv_keep, 0.0)
-    else:
-        wd = w
+        if dropout_rate > 0.0:
+            # identical PRNG stream as the forward pass
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * block_bh + i)
+            keep = _dropout_mask(w.shape, dropout_rate)
+            inv_keep = 1.0 / (1.0 - dropout_rate)
+            wd = jnp.where(keep, w * inv_keep, 0.0)
+        else:
+            wd = w
 
-    dv = jax.lax.dot_general(                   # wd^T @ do
-        wd, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dwd = jax.lax.dot_general(                  # do @ v^T
-        do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if dropout_rate > 0.0:
-        dw = jnp.where(keep, dwd * inv_keep, 0.0)
-    else:
-        dw = dwd
-    ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
-    if t_real < tp:
-        col = jax.lax.broadcasted_iota(jnp.int32, ds.shape, 1)
-        ds = jnp.where(col < t_real, ds, 0.0)
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(                   # ds^T @ q
-        ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+        dv = jax.lax.dot_general(                   # wd^T @ do
+            wd, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwd = jax.lax.dot_general(                  # do @ v^T
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if dropout_rate > 0.0:
+            dw = jnp.where(keep, dwd * inv_keep, 0.0)
+        else:
+            dw = dwd
+        ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+        if t_real < tp:
+            col = jax.lax.broadcasted_iota(jnp.int32, ds.shape, 1)
+            ds = jnp.where(col < t_real, ds, 0.0)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(                   # ds^T @ q
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dq_ref[i] = dq.astype(dq_ref.dtype)
+        dk_ref[i] = dk.astype(dk_ref.dtype)
+        dv_ref[i] = dv.astype(dv_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, block_bh, body, 0)
 
 
-def _bh_spec(tp, hd):
+def _bh_spec(tp, hd, block_bh):
     # index_map takes (*grid_ids, *scalar_prefetch_refs) under
     # PrefetchScalarGridSpec — hence the *_ sink.
-    return pl.BlockSpec((1, tp, hd), lambda i, *_: (i, 0, 0),
+    return pl.BlockSpec((block_bh, tp, hd), lambda i, *_: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _attention_bhtd(q, k, v, seed, scale, t_real, dropout_rate):
-    """q/k/v: [BH, Tp, hd] (padded); seed: [1] int32; returns [BH, Tp, hd]."""
+    """q/k/v: [BH, Tp, hd] (BH padded to a BLOCK_BH multiple);
+    seed: [1] int32; returns [BH, Tp, hd]."""
     bh, tp, hd = q.shape
-    spec = _bh_spec(tp, hd)
+    block_bh = min(BLOCK_BH, bh)
+    spec = _bh_spec(tp, hd, block_bh)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bh,),
+        grid=(bh // block_bh,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, t_real=t_real,
-                          dropout_rate=dropout_rate),
+                          dropout_rate=dropout_rate, block_bh=block_bh),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
@@ -167,16 +188,17 @@ def _attention_fwd(q, k, v, seed, scale, t_real, dropout_rate):
 def _attention_bwd(scale, t_real, dropout_rate, res, do):
     q, k, v, seed = res
     bh, tp, hd = q.shape
-    spec = _bh_spec(tp, hd)
+    block_bh = min(BLOCK_BH_BWD, bh)
+    spec = _bh_spec(tp, hd, block_bh)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bh,),
+        grid=(bh // block_bh,),
         in_specs=[spec, spec, spec, spec],
         out_specs=(spec, spec, spec),
     )
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, t_real=t_real,
-                          dropout_rate=dropout_rate),
+                          dropout_rate=dropout_rate, block_bh=block_bh),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -214,11 +236,16 @@ def flash_attention(q, k, v, *, num_heads, key_padding_mask=None,
     tp = _pad_len(t)
     scale = 1.0 / (hd ** 0.5)
 
+    bh = b * num_heads
+    # pad to a BLOCK_BH multiple so both fwd (block 8) and bwd (block 4)
+    # grids divide evenly; padded rows are sliced away below
+    bh_pad = (-bh) % BLOCK_BH
+
     def to_bhtd(x):
         x = x.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
-        x = x.reshape(b * num_heads, t, hd)
-        if tp != t:
-            x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+        x = x.reshape(bh, t, hd)
+        if tp != t or bh_pad:
+            x = jnp.pad(x, ((0, bh_pad), (0, tp - t), (0, 0)))
         return x
 
     if dropout_seed is None:
@@ -228,5 +255,5 @@ def flash_attention(q, k, v, *, num_heads, key_padding_mask=None,
 
     out = _attention_bhtd(to_bhtd(q), to_bhtd(k), to_bhtd(v), seed,
                           scale, t, float(dropout_rate))
-    out = out[:, :t, :].reshape(b, num_heads, t, hd).transpose(0, 2, 1, 3)
+    out = out[:bh, :t, :].reshape(b, num_heads, t, hd).transpose(0, 2, 1, 3)
     return out.reshape(b, t, h)

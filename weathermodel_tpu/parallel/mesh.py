@@ -54,6 +54,22 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def prefetch_to_device(mesh: Mesh, iterator, size: int = 2):
+    """Double-buffered host->HBM pipeline: keeps `size` sharded batches in
+    flight so the (async) transfer of batch N+1 overlaps the compute of
+    batch N. Device transfers through slow links otherwise serialize with
+    the train step."""
+    import collections
+
+    queue = collections.deque()
+    for item in iterator:
+        queue.append(shard_batch(mesh, item))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def param_sharding_rules(path_tuple, shape, mesh: Mesh) -> P:
     """Tensor-parallel layout rules for the transformer params, keyed on the
     param path. With n_model == 1 everything resolves to replication.

@@ -168,9 +168,10 @@ class PretrainTrainer:
         sums: Dict[str, float] = {}
         n_batches = 0
         key = jax.random.PRNGKey(seed_base)
-        for batch in loader:
+        from weathermodel_tpu.parallel.mesh import prefetch_to_device
+
+        for batch in prefetch_to_device(self.mesh, loader):
             key, sub = jax.random.split(key)
-            batch = shard_batch(self.mesh, batch)
             if train:
                 self.state, losses = self._train_step(
                     self.state, batch, sub, np.float32(lr),
