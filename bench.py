@@ -28,6 +28,12 @@ PYTORCH_GPU_BASELINE = 2000.0
 def main():
     import jax
 
+    # Hardware-accelerated RBG PRNG for dropout/masking streams: threefry
+    # costs ~39ms/step at B=512 on WeatherBERT-small (measured; see
+    # BASELINE.md). Deterministic per seed, like threefry.
+    if os.environ.get("BENCH_PRNG", "rbg") == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
+
     from weathermodel_tpu.models import WeatherBERT
     from weathermodel_tpu.parallel.mesh import make_mesh, shard_batch
     from weathermodel_tpu.train.state import create_train_state, make_optimizer

@@ -33,15 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 _NEG_INF = -1e30
 
-# Batch-heads processed per grid program. One (batch, head) is only ~0.4us
-# of MXU work at these shapes, so per-program overhead dominates a
-# one-(b,h)-per-program grid (B=512 x 10 heads = 5120 programs); looping
-# over a block of BLOCK_BH inside each program amortizes it while keeping
-# VMEM small (one [Tp, Tp] f32 score buffer at a time).
-BLOCK_BH = 8
+# Batch rows processed per grid program. Blocks keep the FULL hidden dim
+# (e.g. 200 lanes) and heads are sliced inside the kernel: a [bh, Tp, hd]
+# head-major layout would waste 6x lane padding (hd=20 of 128 lanes) on
+# every DMA and need large XLA-side transposes. One (batch, head) is only
+# ~2us of work, so each program loops over BLOCK_B x num_heads items to
+# amortize program overhead.
+BLOCK_B = 8
 # The backward kernel keeps ~3x more [Tp, Tp] f32 temporaries live; a
 # smaller block keeps it inside the 16MB VMEM scoped limit.
-BLOCK_BH_BWD = 4
+BLOCK_B_BWD = 4
 
 # Interpreter-mode switch for CPU tests (pallas kernels only compile on TPU).
 _INTERPRET = False
@@ -80,37 +81,47 @@ def _dropout_mask(shape, rate):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_real,
-                dropout_rate, block_bh):
-    def body(i, _):
-        q = q_ref[i].astype(jnp.float32)        # [Tp, hd]
-        k = k_ref[i].astype(jnp.float32)
-        v = v_ref[i].astype(jnp.float32)
+                dropout_rate, block_b, num_heads, hd):
+    def item(i, j):
+        sl = slice(j * hd, (j + 1) * hd)
+        q = q_ref[i, :, sl].astype(jnp.float32)   # [Tp, hd]
+        k = k_ref[i, :, sl].astype(jnp.float32)
+        v = v_ref[i, :, sl].astype(jnp.float32)
         w = _softmax_weights(q, k, scale, t_real)
         if dropout_rate > 0.0:
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * block_bh + i)
+            pltpu.prng_seed(seed_ref[0]
+                            + (pl.program_id(0) * block_b + i) * num_heads
+                            + j)
             keep = _dropout_mask(w.shape, dropout_rate)
             w = jnp.where(keep, w / (1.0 - dropout_rate), 0.0)
         out = jnp.dot(w, v, preferred_element_type=jnp.float32)
-        o_ref[i] = out.astype(o_ref.dtype)
+        o_ref[i, :, sl] = out.astype(o_ref.dtype)
+
+    def body(i, _):
+        for j in range(num_heads):  # static unroll over heads
+            item(i, j)
         return 0
 
-    jax.lax.fori_loop(0, block_bh, body, 0)
+    jax.lax.fori_loop(0, block_b, body, 0)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale, t_real, dropout_rate,
-                block_bh):
-    def body(i, _):
-        q = q_ref[i].astype(jnp.float32)
-        k = k_ref[i].astype(jnp.float32)
-        v = v_ref[i].astype(jnp.float32)
-        do = do_ref[i].astype(jnp.float32)
+                block_b, num_heads, hd):
+    def item(i, j):
+        sl = slice(j * hd, (j + 1) * hd)
+        q = q_ref[i, :, sl].astype(jnp.float32)
+        k = k_ref[i, :, sl].astype(jnp.float32)
+        v = v_ref[i, :, sl].astype(jnp.float32)
+        do = do_ref[i, :, sl].astype(jnp.float32)
         tp = q.shape[0]
         w = _softmax_weights(q, k, scale, t_real)   # [Tp, Tp]
 
         if dropout_rate > 0.0:
             # identical PRNG stream as the forward pass
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * block_bh + i)
+            pltpu.prng_seed(seed_ref[0]
+                            + (pl.program_id(0) * block_b + i) * num_heads
+                            + j)
             keep = _dropout_mask(w.shape, dropout_rate)
             inv_keep = 1.0 / (1.0 - dropout_rate)
             wd = jnp.where(keep, w * inv_keep, 0.0)
@@ -138,67 +149,76 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        dq_ref[i] = dq.astype(dq_ref.dtype)
-        dk_ref[i] = dk.astype(dk_ref.dtype)
-        dv_ref[i] = dv.astype(dv_ref.dtype)
+        dq_ref[i, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[i, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[i, :, sl] = dv.astype(dv_ref.dtype)
+
+    def body(i, _):
+        for j in range(num_heads):
+            item(i, j)
         return 0
 
-    jax.lax.fori_loop(0, block_bh, body, 0)
+    jax.lax.fori_loop(0, block_b, body, 0)
 
 
-def _bh_spec(tp, hd, block_bh):
+def _b_spec(tp, h, block_b):
     # index_map takes (*grid_ids, *scalar_prefetch_refs) under
     # PrefetchScalarGridSpec — hence the *_ sink.
-    return pl.BlockSpec((block_bh, tp, hd), lambda i, *_: (i, 0, 0),
+    return pl.BlockSpec((block_b, tp, h), lambda i, *_: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _attention_bhtd(q, k, v, seed, scale, t_real, dropout_rate):
-    """q/k/v: [BH, Tp, hd] (BH padded to a BLOCK_BH multiple);
-    seed: [1] int32; returns [BH, Tp, hd]."""
-    bh, tp, hd = q.shape
-    block_bh = min(BLOCK_BH, bh)
-    spec = _bh_spec(tp, hd, block_bh)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _attention_bth(q, k, v, seed, scale, t_real, dropout_rate, num_heads):
+    """q/k/v: [B, Tp, H] (B padded to a BLOCK_B multiple); seed: [1] int32;
+    returns [B, Tp, H]."""
+    b, tp, h = q.shape
+    hd = h // num_heads
+    block_b = min(BLOCK_B, b)
+    spec = _b_spec(tp, h, block_b)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bh // block_bh,),
+        grid=(b // block_b,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, t_real=t_real,
-                          dropout_rate=dropout_rate, block_bh=block_bh),
+                          dropout_rate=dropout_rate, block_b=block_b,
+                          num_heads=num_heads, hd=hd),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * tp * tp * hd,
-            bytes_accessed=4 * bh * tp * hd * 4,
-            transcendentals=bh * tp * tp,
+            flops=4 * b * num_heads * tp * tp * hd,
+            bytes_accessed=4 * b * tp * h * 4,
+            transcendentals=b * num_heads * tp * tp,
         ),
         interpret=_INTERPRET,
     )(seed, q, k, v)
 
 
-def _attention_fwd(q, k, v, seed, scale, t_real, dropout_rate):
-    out = _attention_bhtd(q, k, v, seed, scale, t_real, dropout_rate)
+def _attention_fwd(q, k, v, seed, scale, t_real, dropout_rate, num_heads):
+    out = _attention_bth(q, k, v, seed, scale, t_real, dropout_rate,
+                         num_heads)
     return out, (q, k, v, seed)
 
 
-def _attention_bwd(scale, t_real, dropout_rate, res, do):
+def _attention_bwd(scale, t_real, dropout_rate, num_heads, res, do):
     q, k, v, seed = res
-    bh, tp, hd = q.shape
-    block_bh = min(BLOCK_BH_BWD, bh)
-    spec = _bh_spec(tp, hd, block_bh)
+    b, tp, h = q.shape
+    hd = h // num_heads
+    block_b = min(BLOCK_B_BWD, b)
+    spec = _b_spec(tp, h, block_b)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bh // block_bh,),
+        grid=(b // block_b,),
         in_specs=[spec, spec, spec, spec],
         out_specs=(spec, spec, spec),
     )
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, t_real=t_real,
-                          dropout_rate=dropout_rate, block_bh=block_bh),
+                          dropout_rate=dropout_rate, block_b=block_b,
+                          num_heads=num_heads, hd=hd),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -206,16 +226,16 @@ def _attention_bwd(scale, t_real, dropout_rate, res, do):
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=10 * bh * tp * tp * hd,
-            bytes_accessed=7 * bh * tp * hd * 4,
-            transcendentals=bh * tp * tp,
+            flops=10 * b * num_heads * tp * tp * hd,
+            bytes_accessed=7 * b * tp * h * 4,
+            transcendentals=b * num_heads * tp * tp,
         ),
         interpret=_INTERPRET,
     )(seed, q, k, v, do)
     return dq, dk, dv, None
 
 
-_attention_bhtd.defvjp(_attention_fwd, _attention_bwd)
+_attention_bth.defvjp(_attention_fwd, _attention_bwd)
 
 
 def flash_attention(q, k, v, *, num_heads, key_padding_mask=None,
@@ -224,7 +244,8 @@ def flash_attention(q, k, v, *, num_heads, key_padding_mask=None,
 
     dropout_rate is static; dropout_seed is a traced int32 scalar (required
     when dropout_rate > 0). key_padding_mask must be None (the dispatcher
-    falls back to XLA otherwise).
+    falls back to XLA otherwise). No head-split transposes: heads are
+    sliced from the hidden dim inside the kernel.
     """
     if key_padding_mask is not None:
         raise ValueError("pallas attention does not take a padding mask; "
@@ -236,24 +257,16 @@ def flash_attention(q, k, v, *, num_heads, key_padding_mask=None,
     tp = _pad_len(t)
     scale = 1.0 / (hd ** 0.5)
 
-    bh = b * num_heads
-    # pad to a BLOCK_BH multiple so both fwd (block 8) and bwd (block 4)
-    # grids divide evenly; padded rows are sliced away below
-    bh_pad = (-bh) % BLOCK_BH
-
-    def to_bhtd(x):
-        x = x.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
-        x = x.reshape(bh, t, hd)
-        if tp != t or bh_pad:
-            x = jnp.pad(x, ((0, bh_pad), (0, tp - t), (0, 0)))
-        return x
+    b_pad = (-b) % BLOCK_B
+    if tp != t or b_pad:
+        pad = ((0, b_pad), (0, tp - t), (0, 0))
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
 
     if dropout_seed is None:
         seed = jnp.zeros((1,), dtype=jnp.int32)
     else:
         seed = jnp.reshape(dropout_seed, (1,)).astype(jnp.int32)
 
-    out = _attention_bhtd(to_bhtd(q), to_bhtd(k), to_bhtd(v), seed,
-                          scale, t, float(dropout_rate))
-    out = out[:bh, :t, :].reshape(b, num_heads, t, hd).transpose(0, 2, 1, 3)
-    return out.reshape(b, t, h)
+    out = _attention_bth(q, k, v, seed, scale, t, float(dropout_rate),
+                         num_heads)
+    return out[:b, :t, :]
