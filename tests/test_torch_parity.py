@@ -37,7 +37,7 @@ class TorchWeatherBERT(nn.Module):
         self.in_proj = nn.Linear(cfg.input_dim, h)
         layer = nn.TransformerEncoderLayer(
             batch_first=True, d_model=h, nhead=cfg.num_heads,
-            dim_feedforward=cfg.ffn_dim,
+            dim_feedforward=cfg.ffn_dim, dropout=cfg.dropout_rate,
         )
         self.encoder = nn.TransformerEncoder(layer, num_layers=cfg.num_layers)
         self.out_proj = nn.Linear(h, cfg.output_dim)
