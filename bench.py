@@ -21,8 +21,11 @@ import time
 import numpy as np
 
 # Estimated reference throughput (samples/sec/chip, PyTorch fp32 on H100,
-# WeatherBERT-small, batch 256/4 GPUs). See BASELINE.md for derivation.
-PYTORCH_GPU_BASELINE = 2000.0
+# batch 256/4 GPUs). See BASELINE.md for derivation; scaled per size by
+# FLOPs/sample (0.16/2.3/8.5/41 GFLOP fwd for mini/small/medium/large).
+PYTORCH_GPU_BASELINE = {
+    "mini": 12000.0, "small": 2000.0, "medium": 700.0, "large": 190.0,
+}
 
 
 def main():
@@ -106,7 +109,7 @@ def main():
         "metric": f"pretrain_samples_per_sec_per_chip_weatherbert_{size}",
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(per_chip / PYTORCH_GPU_BASELINE, 3),
+        "vs_baseline": round(per_chip / PYTORCH_GPU_BASELINE[size], 3),
     }))
 
 

@@ -37,12 +37,22 @@ _NEG_INF = -1e30
 # (e.g. 200 lanes) and heads are sliced inside the kernel: a [bh, Tp, hd]
 # head-major layout would waste 6x lane padding (hd=20 of 128 lanes) on
 # every DMA and need large XLA-side transposes. One (batch, head) is only
-# ~2us of work, so each program loops over BLOCK_B x num_heads items to
-# amortize program overhead.
-BLOCK_B = 8
-# The backward kernel keeps ~3x more [Tp, Tp] f32 temporaries live; a
-# smaller block keeps it inside the 16MB VMEM scoped limit.
-BLOCK_B_BWD = 4
+# ~2us of work, so each program loops over a block of batch rows x
+# num_heads items to amortize program overhead. Block sizes scale down
+# with the hidden dim so buffers (+double-buffering, + ~4MB of [Tp, Tp]
+# f32 temporaries) stay inside the 16MB VMEM scoped limit; the backward
+# keeps ~2x more buffers live so it gets a smaller block.
+_VMEM_BUDGET = 10 * 1024 * 1024
+_MAX_BLOCK_B = 8
+
+
+def _block_sizes(tp: int, h: int, itemsize: int):
+    per_row = tp * h * itemsize
+    bf = max(1, _VMEM_BUDGET // (8 * per_row))    # 4 buffers x 2 (pipeline)
+    bb = max(1, _VMEM_BUDGET // (14 * per_row))   # 7 buffers x 2
+    bf = min(1 << (bf.bit_length() - 1), _MAX_BLOCK_B)
+    bb = min(1 << (bb.bit_length() - 1), bf)
+    return bf, bb
 
 # Interpreter-mode switch for CPU tests (pallas kernels only compile on TPU).
 _INTERPRET = False
@@ -174,7 +184,7 @@ def _attention_bth(q, k, v, seed, scale, t_real, dropout_rate, num_heads):
     returns [B, Tp, H]."""
     b, tp, h = q.shape
     hd = h // num_heads
-    block_b = min(BLOCK_B, b)
+    block_b = min(_block_sizes(tp, h, q.dtype.itemsize)[0], b)
     spec = _b_spec(tp, h, block_b)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -207,7 +217,7 @@ def _attention_bwd(scale, t_real, dropout_rate, num_heads, res, do):
     q, k, v, seed = res
     b, tp, h = q.shape
     hd = h // num_heads
-    block_b = min(BLOCK_B_BWD, b)
+    block_b = min(_block_sizes(tp, h, q.dtype.itemsize)[1], b)
     spec = _b_spec(tp, h, block_b)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -257,7 +267,9 @@ def flash_attention(q, k, v, *, num_heads, key_padding_mask=None,
     tp = _pad_len(t)
     scale = 1.0 / (hd ** 0.5)
 
-    b_pad = (-b) % BLOCK_B
+    # pad b to the fwd block multiple (the bwd block is a power-of-two
+    # divisor of it, so both grids divide evenly)
+    b_pad = (-b) % _block_sizes(tp, h, q.dtype.itemsize)[0]
     if tp != t or b_pad:
         pad = ((0, b_pad), (0, tp - t), (0, 0))
         q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
