@@ -14,6 +14,7 @@ which dispatches to either a plain-XLA path or the fused Pallas kernel.
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -95,8 +96,40 @@ class SelfAttention(nn.Module):
         return torch_dense(h, h, name="out_proj", dtype=self.dtype)(out)
 
 
+class DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact tree (kernel [in, out] +
+    bias) and torch init — lets the fused Pallas FFN path share checkpoints
+    with the XLA path."""
+
+    features: int
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", torch_linear_kernel_init(),
+                       (self.fan_in, self.features))
+        b = self.param("bias", torch_linear_bias_init(self.fan_in),
+                       (self.features,))
+        return k, b
+
+
+class LayerNormParams(nn.Module):
+    """Parameter holder matching nn.LayerNorm's tree (scale + bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return s, b
+
+
 class TransformerEncoderLayer(nn.Module):
-    """Post-LN encoder layer, torch defaults (see module docstring)."""
+    """Post-LN encoder layer, torch defaults (see module docstring).
+    With attention_impl="pallas" the whole FFN half (linear1 -> relu ->
+    dropout -> linear2 -> dropout -> residual -> norm2) runs as ONE fused
+    Pallas kernel; the parameter tree is identical either way."""
 
     hidden_dim: int
     num_heads: int
@@ -104,6 +137,12 @@ class TransformerEncoderLayer(nn.Module):
     dropout_rate: float = 0.1
     attention_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
+    # "pallas" = one fused FFN+LN kernel. Correct (grads match to bf16
+    # noise) but measured SLOWER than XLA's batched-matmul FFN at the
+    # reference shapes (134 vs 126 ms/step, WeatherBERT-small B=512) —
+    # XLA's single [B*T, 4H] matmul + fusion wins; kept opt-in for shapes
+    # where HBM pressure dominates.
+    ffn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
@@ -114,14 +153,37 @@ class TransformerEncoderLayer(nn.Module):
         attn = nn.Dropout(self.dropout_rate, deterministic=deterministic)(attn)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x + attn)
 
-        ff = torch_dense(self.ffn_dim, self.hidden_dim, name="linear1",
-                         dtype=self.dtype)(x)
+        w1, b1 = DenseParams(self.ffn_dim, self.hidden_dim,
+                             name="linear1")()
+        w2, b2 = DenseParams(self.hidden_dim, self.ffn_dim,
+                             name="linear2")()
+        ln_s, ln_b = LayerNormParams(self.hidden_dim, name="norm2")()
+
+        drop = 0.0 if deterministic else self.dropout_rate
+        if self.ffn_impl == "pallas":
+            from weathermodel_tpu.ops.pallas_ffn import fused_ffn_ln
+
+            seed = None
+            if drop > 0.0:
+                seed = jax.random.key_data(
+                    self.make_rng("dropout")).ravel()[-1].astype(jnp.int32)
+            return fused_ffn_ln(
+                x, w1.astype(self.dtype), b1, w2.astype(self.dtype), b2,
+                ln_s, ln_b, dropout_rate=drop, dropout_seed=seed,
+            ).astype(self.dtype)
+
+        # XLA path: identical math with materialized intermediates
+        ff = jnp.dot(x, w1.astype(self.dtype)) + b1.astype(self.dtype)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout_rate, deterministic=deterministic)(ff)
-        ff = torch_dense(self.hidden_dim, self.ffn_dim, name="linear2",
-                         dtype=self.dtype)(ff)
+        ff = jnp.dot(ff, w2.astype(self.dtype)) + b2.astype(self.dtype)
         ff = nn.Dropout(self.dropout_rate, deterministic=deterministic)(ff)
-        return nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(x + ff)
+        y = x + ff
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+        xhat = (y - mu) * jax.lax.rsqrt(var + 1e-5)
+        return (xhat * ln_s.astype(self.dtype)
+                + ln_b.astype(self.dtype)).astype(self.dtype)
 
 
 class TransformerEncoder(nn.Module):
@@ -136,6 +198,7 @@ class TransformerEncoder(nn.Module):
     attention_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    ffn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
@@ -146,6 +209,6 @@ class TransformerEncoder(nn.Module):
             x = layer_cls(
                 self.hidden_dim, self.num_heads, self.ffn_dim,
                 self.dropout_rate, self.attention_impl, self.dtype,
-                name=f"layer_{i}",
+                self.ffn_impl, name=f"layer_{i}",
             )(x, key_padding_mask, deterministic)
         return x
