@@ -68,11 +68,14 @@ def _pad_len(t: int) -> int:
 
 
 def _softmax_weights(q, k, scale, t_real):
-    """scores -> masked, stabilized softmax weights, all f32 in VMEM."""
+    """scores -> masked, stabilized softmax weights. Matmul operands stay
+    in the input dtype (bf16 on the hot path) with f32 ACCUMULATION —
+    f32-operand matmuls run 3-6x slower on the MXU; this matches the XLA
+    path's numerics class exactly. Softmax math is f32."""
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale                                 # [Tp, Tp]
+    ) * scale                                 # [Tp, Tp] f32
     tp = scores.shape[0]
     if t_real < tp:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
@@ -94,9 +97,9 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_real,
                 dropout_rate, block_b, num_heads, hd):
     def item(i, j):
         sl = slice(j * hd, (j + 1) * hd)
-        q = q_ref[i, :, sl].astype(jnp.float32)   # [Tp, hd]
-        k = k_ref[i, :, sl].astype(jnp.float32)
-        v = v_ref[i, :, sl].astype(jnp.float32)
+        q = q_ref[i, :, sl]                       # [Tp, hd] input dtype
+        k = k_ref[i, :, sl]
+        v = v_ref[i, :, sl]
         w = _softmax_weights(q, k, scale, t_real)
         if dropout_rate > 0.0:
             pltpu.prng_seed(seed_ref[0]
@@ -104,7 +107,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_real,
                             + j)
             keep = _dropout_mask(w.shape, dropout_rate)
             w = jnp.where(keep, w / (1.0 - dropout_rate), 0.0)
-        out = jnp.dot(w, v, preferred_element_type=jnp.float32)
+        out = jnp.dot(w.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32)
         o_ref[i, :, sl] = out.astype(o_ref.dtype)
 
     def body(i, _):
@@ -120,12 +124,13 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
                 block_b, num_heads, hd):
     def item(i, j):
         sl = slice(j * hd, (j + 1) * hd)
-        q = q_ref[i, :, sl].astype(jnp.float32)
-        k = k_ref[i, :, sl].astype(jnp.float32)
-        v = v_ref[i, :, sl].astype(jnp.float32)
-        do = do_ref[i, :, sl].astype(jnp.float32)
+        q = q_ref[i, :, sl]                       # input dtype (bf16 hot path)
+        k = k_ref[i, :, sl]
+        v = v_ref[i, :, sl]
+        do = do_ref[i, :, sl]
         tp = q.shape[0]
-        w = _softmax_weights(q, k, scale, t_real)   # [Tp, Tp]
+        dt = q.dtype
+        w = _softmax_weights(q, k, scale, t_real)   # [Tp, Tp] f32
 
         if dropout_rate > 0.0:
             # identical PRNG stream as the forward pass
@@ -139,7 +144,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
             wd = w
 
         dv = jax.lax.dot_general(                   # wd^T @ do
-            wd, do, (((0,), (0,)), ((), ())),
+            wd.astype(dt), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dwd = jax.lax.dot_general(                  # do @ v^T
@@ -154,9 +159,10 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
         if t_real < tp:
             col = jax.lax.broadcasted_iota(jnp.int32, ds.shape, 1)
             ds = jnp.where(col < t_real, ds, 0.0)
-        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        ds16 = ds.astype(dt)
+        dq = jnp.dot(ds16, k, preferred_element_type=jnp.float32) * scale
         dk = jax.lax.dot_general(                   # ds^T @ q
-            ds, q, (((0,), (0,)), ((), ())),
+            ds16, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
         dq_ref[i, :, sl] = dq.astype(dq_ref.dtype)
