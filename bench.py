@@ -47,13 +47,22 @@ def main():
     batch_per_chip = int(os.environ.get("BENCH_BATCH_PER_CHIP", "512"))
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
     attention_impl = os.environ.get("BENCH_ATTENTION", "pallas")
+    # "masked_mse" (WeatherBERT) or "elbo" (WeatherFormer variational step)
+    objective = os.environ.get("BENCH_OBJECTIVE", "masked_mse")
 
     n_chips = len(jax.devices())
     mesh = make_mesh()  # all chips on 'data'
     b = batch_per_chip * n_chips
 
     cfg = model_config_for_size(size, compute_dtype="bfloat16")
-    model = WeatherBERT(cfg, attention_impl=attention_impl)
+    if objective == "elbo":
+        from weathermodel_tpu.models import WeatherFormer
+
+        model = WeatherFormer(cfg, attention_impl=attention_impl)
+        model_tag = "weatherformer"
+    else:
+        model = WeatherBERT(cfg, attention_impl=attention_impl)
+        model_tag = "weatherbert"
     t, f = cfg.max_len, cfg.weather_dim
 
     rng = np.random.default_rng(0)
@@ -74,13 +83,15 @@ def main():
     state = jax.device_put(create_train_state(params),
                            replicated_sharding(mesh))
     tx = make_optimizer()
+    masking = "weatherformer" if objective == "elbo" else "weatherbert"
     step = compile_step(
-        make_train_step(model, "masked_mse", "weatherbert", tx=tx),
+        make_train_step(model, objective, masking, tx=tx),
         mesh, donate_state=True,
     )
     sharded = shard_batch(mesh, batch)
     key = jax.random.PRNGKey(1)
-    lr, n_masked = np.float32(5e-4), np.int32(1)
+    lr = np.float32(5e-4)
+    n_masked = np.int32(10 if objective == "elbo" else 1)
 
     # warmup / compile. NOTE: through the axon tunnel block_until_ready
     # returns before the compute finishes — a host transfer (float()) is the
@@ -100,13 +111,13 @@ def main():
     samples_per_sec = b * n_steps / dt
     per_chip = samples_per_sec / n_chips
     print(
-        f"[bench] {size} B={b} T={t} chips={n_chips} "
+        f"[bench] {model_tag}-{size} B={b} T={t} chips={n_chips} "
         f"impl={attention_impl} steps={n_steps} wall={dt:.3f}s "
         f"loss={float(metrics['total_loss']):.4f}",
         file=sys.stderr,
     )
     print(json.dumps({
-        "metric": f"pretrain_samples_per_sec_per_chip_weatherbert_{size}",
+        "metric": f"pretrain_samples_per_sec_per_chip_{model_tag}_{size}",
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(per_chip / PYTORCH_GPU_BASELINE[size], 3),

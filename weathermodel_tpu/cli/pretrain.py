@@ -108,9 +108,11 @@ def load_pretrained_params(path: str, num_layers: int):
         from weathermodel_tpu.models.transfer import convert_torch_checkpoint
 
         return convert_torch_checkpoint(path, num_layers)
+    import os
+
     import orbax.checkpoint as ocp
 
-    return ocp.StandardCheckpointer().restore(path)
+    return ocp.StandardCheckpointer().restore(os.path.abspath(path))
 
 
 def run(args: argparse.Namespace) -> dict:

@@ -76,9 +76,14 @@ class PretrainTrainer:
         self.rng = jax.random.PRNGKey(train_cfg.seed)
         params = self._init_params()
         if pretrained_params is not None:
+            import jax.numpy as jnp
+
             from weathermodel_tpu.models.transfer import load_pretrained
 
             params = load_pretrained(model_name, params, pretrained_params)
+            # deep-copy so the donated train step never consumes the
+            # caller's pretrained buffers
+            params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         state = create_train_state(params)
         # Replicate state over the mesh (pure DP; param_sharding_rules can
         # shard it for TP via parallel.mesh.shard_params).

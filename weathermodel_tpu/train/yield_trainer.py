@@ -250,6 +250,9 @@ class YieldTrainer:
             params = transfer_encoder_into_yield(
                 params, pretrained_encoder_params
             )
+            # deep-copy: the donated train step would otherwise consume the
+            # caller's pretrained buffers, breaking later CV folds
+            params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         self.state = create_train_state(params)
         tx = make_optimizer()
         self._train_step = jax.jit(
