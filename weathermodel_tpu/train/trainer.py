@@ -129,6 +129,9 @@ class PretrainTrainer:
                 "masking_prob": train_cfg.masking_prob,
                 "n_masked_features": train_cfg.n_masked_features,
                 "n_devices": len(self.mesh.devices.flatten()),
+                # stringified architecture (reference output_json contract,
+                # base_trainer.py:353-381 embeds str(model))
+                "architecture": str(model),
             },
             "losses": {"train": {}, "val": {}},
         }
