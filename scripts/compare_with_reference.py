@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Numerics-fidelity harness: train this framework's WeatherBERT and an
+identical PyTorch model (the reference's architecture: in_proj -> sinusoidal
+PE -> stock nn.TransformerEncoder -> out_proj) side by side on identical
+data, identical converted initial weights, identical fixed masks and Adam
+hyperparameters, dropout off — and report the per-step loss drift.
+
+This is the runnable form of tests/test_training_parity.py ("matching the
+reference's loss values to numerical fidelity", BASELINE.json). Runs on CPU
+so torch and JAX see the same fp32 arithmetic class.
+
+Usage: python scripts/compare_with_reference.py --steps 50 --batch 32
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--seq-len", type=int, default=52)
+    p.add_argument("--model-size", default="mini")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+    import torch
+
+    sys.path.insert(0, ".")
+    from tests.test_torch_parity import TorchWeatherBERT, _load_flax_into_torch
+    from weathermodel_tpu.models import WeatherBERT
+    from weathermodel_tpu.utils.config import model_config_for_size
+
+    cfg = model_config_for_size(args.model_size, max_len=args.seq_len,
+                                dropout_rate=0.0)
+    b, t, f = args.batch, args.seq_len, cfg.weather_dim
+    rng = np.random.default_rng(args.seed)
+    weather = rng.normal(size=(args.steps, b, t, f)).astype(np.float32)
+    coords = rng.uniform(-90, 90, size=(b, 2)).astype(np.float32)
+    year = np.full((b, t), 1990.0, dtype=np.float32)
+    interval = np.full((b, 1), 7.0, dtype=np.float32)
+    masks = rng.random((args.steps, b, t, f)) < 0.15
+
+    model = WeatherBERT(cfg)
+    params = model.init(jax.random.PRNGKey(args.seed),
+                        jnp.asarray(weather[0]), jnp.asarray(coords),
+                        jnp.asarray(year), jnp.asarray(interval),
+                        jnp.asarray(masks[0]))
+    tm = TorchWeatherBERT(cfg)
+    _load_flax_into_torch(tm, params)
+    tm.train()
+    opt_t = torch.optim.Adam(tm.parameters(), lr=args.lr)
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, w, m):
+        def loss_fn(pp):
+            out = model.apply(pp, w, jnp.asarray(coords), jnp.asarray(year),
+                              jnp.asarray(interval), m)
+            se = jnp.square(w - out)
+            return jnp.sum(se * m) / jnp.sum(m)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    print(f"{'step':>5} {'jax_loss':>12} {'torch_loss':>12} {'rel_drift':>10}")
+    drifts = []
+    for i in range(args.steps):
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(weather[i]),
+                                       jnp.asarray(masks[i]))
+        lj = float(loss)
+
+        w_t = torch.from_numpy(weather[i])
+        m_t = torch.from_numpy(masks[i])
+        opt_t.zero_grad()
+        out = tm(w_t, torch.from_numpy(coords), torch.from_numpy(year),
+                 torch.from_numpy(interval), m_t)
+        loss_t = torch.nn.functional.mse_loss(out[m_t], w_t[m_t])
+        loss_t.backward()
+        opt_t.step()
+        lt = float(loss_t.detach())
+
+        drift = abs(lj - lt) / max(abs(lt), 1e-12)
+        drifts.append(drift)
+        if i % max(1, args.steps // 10) == 0 or i == args.steps - 1:
+            print(f"{i:>5} {lj:>12.6f} {lt:>12.6f} {drift:>10.2e}")
+
+    print(f"\nmax relative loss drift over {args.steps} steps: "
+          f"{max(drifts):.3e} (step-0: {drifts[0]:.3e})")
+
+
+if __name__ == "__main__":
+    main()

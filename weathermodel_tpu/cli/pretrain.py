@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(numerics debugging; reference = stock torch)")
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=("bfloat16", "float32"))
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder layers in backward (trade "
+                        "FLOPs for HBM; for large models / long sequences)")
     p.add_argument("--prng", default="rbg",
                    choices=("rbg", "threefry2x32"),
                    help="rbg = hardware-accelerated PRNG for masking/dropout"
@@ -61,7 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def make_model(name: str, cfg: ModelConfig, attention_impl: str):
+def make_model(name: str, cfg: ModelConfig, attention_impl: str,
+               remat: bool = False):
     from weathermodel_tpu.models import (
         SimMTM,
         WeatherAutoencoder,
@@ -87,7 +91,7 @@ def make_model(name: str, cfg: ModelConfig, attention_impl: str):
             f"Unknown model type: {name}. Choose one of "
             + ", ".join(PRETRAIN_MODELS)
         )
-    return table[name](cfg, attention_impl=attention_impl)
+    return table[name](cfg, attention_impl=attention_impl, remat=remat)
 
 
 # CLI model name -> internal trainer key (OBJECTIVE_FOR_MODEL)
@@ -151,7 +155,8 @@ def run(args: argparse.Namespace) -> dict:
     def make_loaders(split, shuffle, seed):
         return pretrain_batches(split, dcfg, shuffle=shuffle, seed=seed)
 
-    model = make_model(args.model, mcfg, args.attention_impl)
+    model = make_model(args.model, mcfg, args.attention_impl,
+                       remat=args.remat)
     pretrained = None
     if args.pretrained_model_path:
         pretrained = load_pretrained_params(
