@@ -121,6 +121,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", default="float32",
                    choices=("bfloat16", "float32"))
     p.add_argument("--seed", default=1234, type=int)
+    p.add_argument("--workdir", default=None,
+                   help="save per-fold best params + yield_output.json here")
     p.add_argument("--prng", default="rbg",
                    choices=("rbg", "threefry2x32"),
                    help="rbg = hardware-accelerated PRNG for masking/dropout"
@@ -212,6 +214,7 @@ def run(args) -> dict:
         n_past_years=args.n_past_years, test_type=args.test_type,
         k_folds=args.cross_validation_k,
         pretrained_encoder_params=pretrained,
+        workdir=args.workdir,
     )
     results = cv.run()
     logger.info(

@@ -223,12 +223,14 @@ class YieldTrainer:
         n_past_years: int,
         pretrained_encoder_params=None,
         init_key=None,
+        workdir: Optional[str] = None,
     ):
         self.model = model
         self.cfg = train_cfg
         self.objective = objective
         self.train_arrays = train_arrays
         self.test_arrays = test_arrays
+        self.workdir = workdir
 
         a = train_arrays
         dummy = (
@@ -343,8 +345,36 @@ class YieldTrainer:
             for scope, losses in (("train", tr), ("val", va)):
                 for k, v in losses.items():
                     self.loss_history[scope].setdefault(k, []).append(v)
-            best = min(best, va["total_loss"])
+            if va["total_loss"] < best:
+                best = va["total_loss"]
+                if self.workdir:
+                    self._save_best()
+        if self.workdir:
+            from weathermodel_tpu.train.checkpoint import write_output_json
+
+            write_output_json(self.workdir, "yield", {
+                "model_config": {"objective": self.objective,
+                                 "batch_size": self.cfg.batch_size,
+                                 "init_lr": self.cfg.init_lr,
+                                 "beta": self.cfg.beta},
+                "losses": self.loss_history,
+            })
         return best
+
+    def _save_best(self):
+        """Best-model params checkpoint on val improvement (reference
+        base_trainer.py:525-537 saves {name}_best.pth; here orbax)."""
+        import os
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.workdir, "best"))
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ck = ocp.StandardCheckpointer()
+        ck.save(path, self.state.params)
+        ck.wait_until_finished()
 
 
 class YieldCrossValidator:
@@ -367,6 +397,7 @@ class YieldCrossValidator:
         test_type: str = "overall",
         k_folds: int = 5,
         pretrained_encoder_params=None,
+        workdir: Optional[str] = None,
     ):
         self.make_model = make_model
         self.model_cfg = model_cfg
@@ -380,6 +411,7 @@ class YieldCrossValidator:
         self.test_type = test_type
         self.k_folds = k_folds
         self.pretrained_encoder_params = pretrained_encoder_params
+        self.workdir = workdir
 
     def run(self) -> Dict[str, Any]:
         years = select_test_years(self.test_type, self.country, self.crop_type)
@@ -392,11 +424,14 @@ class YieldCrossValidator:
                 self.crop_df, self.n_train_years, test_year,
                 self.n_past_years, self.crop_type, self.country, test_gap,
             )
+            fold_dir = (f"{self.workdir}/fold_{fold}_year_{test_year}"
+                        if self.workdir else None)
             trainer = YieldTrainer(
                 self.make_model(), self.model_cfg, self.train_cfg,
                 self.objective, train_arr, test_arr, eff_n_past,
                 pretrained_encoder_params=self.pretrained_encoder_params,
                 init_key=jax.random.PRNGKey(self.train_cfg.seed),
+                workdir=fold_dir,
             )
             best = trainer.train()
             fold_results.append(YieldFoldResult(
