@@ -54,3 +54,23 @@ def test_plot_county_map(tmp_path):
     vals = np.random.default_rng(2).normal(40, 5, 10)
     plot_county_map(lats, lons, vals, "yield", out_path=out)
     assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_find_extreme_years_detects_anomaly():
+    import pandas as pd
+
+    from weathermodel_tpu.analysis.yield_stats import find_extreme_years
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for loc in range(5):
+        for year in range(2000, 2020):
+            y = 40.0 + rng.normal(0, 0.5)
+            if year == 2012:  # drought year
+                y -= 15.0
+            rows.append({"loc_ID": loc, "year": year, "soybean_yield": y})
+    df = pd.DataFrame(rows)
+    extremes = find_extreme_years(df, "soybean")
+    # the injected drought year must be flagged (a 1-sigma rule on
+    # low-variance series also flags some noise years — expected)
+    assert 2012 in extremes
