@@ -130,3 +130,13 @@ def test_dispatcher_falls_back_with_mask_or_dropout():
     ref = multi_head_attention(q, k, v, num_heads=2, key_padding_mask=mask,
                                impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_long_context_t1024():
+    """SURVEY §5.7: the kernel must scale past MAX_CONTEXT_LENGTH=365 —
+    block sizes adapt to keep VMEM bounded at T=1024."""
+    q, k, v = _qkv(2, 1024, 64, seed=7)
+    ref = _xla_attention(q, k, v, 4, None, 0.0, None)
+    got = _interp_flash(q, k, v, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-3)
