@@ -90,3 +90,25 @@ def test_pretrain_batches_shuffle_changes_order(tmp_path):
     c1 = next(iter(pretrain_batches("train", cfg, shuffle=False, seed=1)))
     c2 = next(iter(pretrain_batches("train", cfg, shuffle=False, seed=2)))
     np.testing.assert_array_equal(c1.weather, c2.weather)
+
+
+def test_pretrain_batches_multi_frequency(tmp_path):
+    """Multiple granularities (daily interval=1, weekly=7) stream together;
+    year derivation respects each interval (reference TIME_PARAMS,
+    nasa_power/dataloader.py:12-26)."""
+    write_synthetic_dataset(str(tmp_path), n_chunks=2, n_samples=24,
+                            seq_len=16, freqs=("weekly", "daily"))
+    cfg = PretrainDataConfig(data_dir=str(tmp_path), batch_size=8,
+                             dry_run=False, num_parts=2,
+                             freqs=("weekly", "daily"))
+    batches = list(pretrain_batches("train", cfg, shuffle=False, seed=0))
+    assert len(batches) >= 4
+    intervals = np.concatenate([np.unique(b.interval) for b in batches])
+    assert set(np.unique(intervals)) == {1.0, 7.0}
+    for b in batches:
+        # year step within a sample = interval/365
+        steps = np.diff(b.year, axis=1) * 365.0
+        # f32 eps at year~1990 is ~2e-4 -> +-0.07 after x365
+        np.testing.assert_allclose(
+            steps, np.broadcast_to(b.interval, steps.shape), atol=0.1
+        )
