@@ -49,6 +49,8 @@ def main():
     attention_impl = os.environ.get("BENCH_ATTENTION", "pallas")
     # "masked_mse" (WeatherBERT) or "elbo" (WeatherFormer variational step)
     objective = os.environ.get("BENCH_OBJECTIVE", "masked_mse")
+    # "train" (full step) or "eval" (forward-only, the serving path)
+    mode = os.environ.get("BENCH_MODE", "train")
 
     n_chips = len(jax.devices())
     mesh = make_mesh()  # all chips on 'data'
@@ -84,10 +86,19 @@ def main():
                            replicated_sharding(mesh))
     tx = make_optimizer()
     masking = "weatherformer" if objective == "elbo" else "weatherbert"
-    step = compile_step(
-        make_train_step(model, objective, masking, tx=tx),
-        mesh, donate_state=True,
-    )
+    if mode == "eval":
+        from weathermodel_tpu.train.steps import make_eval_step
+
+        eval_fn = compile_step(make_eval_step(model, objective, masking),
+                               mesh)
+
+        def step(state, batch, key, lr, n_masked):
+            return state, eval_fn(state.params, batch, key, n_masked)
+    else:
+        step = compile_step(
+            make_train_step(model, objective, masking, tx=tx),
+            mesh, donate_state=True,
+        )
     sharded = shard_batch(mesh, batch)
     key = jax.random.PRNGKey(1)
     lr = np.float32(5e-4)
@@ -112,12 +123,13 @@ def main():
     per_chip = samples_per_sec / n_chips
     print(
         f"[bench] {model_tag}-{size} B={b} T={t} chips={n_chips} "
-        f"impl={attention_impl} steps={n_steps} wall={dt:.3f}s "
+        f"impl={attention_impl} mode={mode} steps={n_steps} wall={dt:.3f}s "
         f"loss={float(metrics['total_loss']):.4f}",
         file=sys.stderr,
     )
+    metric_kind = "eval" if mode == "eval" else "pretrain"
     print(json.dumps({
-        "metric": f"pretrain_samples_per_sec_per_chip_{model_tag}_{size}",
+        "metric": f"{metric_kind}_samples_per_sec_per_chip_{model_tag}_{size}",
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(per_chip / PYTORCH_GPU_BASELINE[size], 3),
