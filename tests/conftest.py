@@ -20,3 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Pallas kernels only compile on TPU; on the CPU test backend run them in
+# interpreter mode globally so any test may touch a pallas path regardless
+# of collection order.
+from weathermodel_tpu.ops import pallas_attention, pallas_ffn  # noqa: E402
+
+pallas_attention.set_interpret(True)
+pallas_ffn.set_interpret(True)
