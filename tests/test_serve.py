@@ -1,0 +1,75 @@
+"""Serving helpers: bucketing, padding correctness, checkpoint loading."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from weathermodel_tpu.models import WeatherBERT, WeatherFormer
+from weathermodel_tpu.serve import WeatherPredictor
+from weathermodel_tpu.utils.config import ModelConfig
+
+T = 16
+CFG = ModelConfig(num_heads=4, num_layers=1, hidden_dim_factor=12, max_len=T)
+
+
+def _inputs(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.normal(size=(n, T, 31)).astype(np.float32),
+            rng.uniform(-90, 90, (n, 2)).astype(np.float32),
+            np.full((n, T), 2000.0, np.float32),
+            np.full((n, 1), 7.0, np.float32))
+
+
+def test_padding_does_not_change_results():
+    model = WeatherBERT(CFG)
+    w, c, y, i = _inputs(8)
+    params = model.init(jax.random.PRNGKey(0), w, c, y, i,
+                        np.zeros(w.shape, bool))
+    pred = WeatherPredictor(model, params, buckets=(4, 16))
+    # n=3 pads to bucket 4; n=8 pads to 16 -> results must match direct apply
+    for n in (3, 8):
+        out = pred(w[:n], c[:n], y[:n], i[:n])
+        direct = model.apply(params, jnp.asarray(w[:n]), jnp.asarray(c[:n]),
+                             jnp.asarray(y[:n]), jnp.asarray(i[:n]),
+                             jnp.zeros((n, T, 31), bool))
+        np.testing.assert_allclose(out, np.asarray(direct), atol=1e-5)
+
+
+def test_large_request_chunking():
+    model = WeatherFormer(CFG)
+    w, c, y, i = _inputs(10, seed=1)
+    params = model.init(jax.random.PRNGKey(0), w, c, y, i,
+                        np.zeros(w.shape, bool))
+    pred = WeatherPredictor(model, params, buckets=(4,))
+    mu, var = pred(w, c, y, i)
+    assert mu.shape == (10, T, 31) and var.shape == (10, T, 31)
+    assert np.isfinite(mu).all()
+
+
+def test_load_from_orbax(tmp_path):
+    import orbax.checkpoint as ocp
+
+    from weathermodel_tpu.serve import load_weather_predictor
+
+    model = WeatherBERT(CFG)
+    w, c, y, i = _inputs(2)
+    params = model.init(jax.random.PRNGKey(0), w, c, y, i,
+                        np.zeros(w.shape, bool))
+    ck = ocp.StandardCheckpointer()
+    import os
+
+    ck.save(os.path.abspath(str(tmp_path / "best")), params)
+    ck.wait_until_finished()
+
+    # note: load_weather_predictor builds the model from size; here we
+    # construct directly to reuse the tiny test config
+    from weathermodel_tpu.cli.pretrain import load_pretrained_params
+
+    loaded = load_pretrained_params(str(tmp_path / "best"), CFG.num_layers)
+    pred = WeatherPredictor(model, jax.tree.map(jnp.asarray, loaded),
+                            buckets=(4,))
+    out = pred(w, c, y, i)
+    direct = model.apply(params, jnp.asarray(w), jnp.asarray(c),
+                         jnp.asarray(y), jnp.asarray(i),
+                         jnp.zeros(w.shape, bool))
+    np.testing.assert_allclose(out, np.asarray(direct), atol=1e-6)

@@ -1,0 +1,94 @@
+"""Batched inference / serving helpers.
+
+Loads a pretrained checkpoint (orbax dir or reference torch .pth) and
+returns a jitted, device-resident predictor. Variable request sizes are
+padded up to a small set of bucket batch sizes so the number of compiled
+programs stays bounded (each new shape costs a full XLA compile).
+
+    predictor = load_weather_predictor("runs/wf_small/best", "small")
+    mu, var = predictor(weather, coords, year, interval, mask)
+"""
+
+import logging
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from weathermodel_tpu.utils.config import model_config_for_size
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_BUCKETS = (8, 32, 128, 512)
+
+
+class WeatherPredictor:
+    """Deterministic (eval-mode) batched forward with batch bucketing."""
+
+    def __init__(self, model, params, buckets: Sequence[int] = DEFAULT_BUCKETS):
+        self.model = model
+        self.params = jax.device_put(params)
+        self.buckets = tuple(sorted(buckets))
+        self._apply = jax.jit(
+            lambda p, w, c, y, i, m: model.apply(
+                p, w, c, y, i, m, deterministic=True,
+                rngs={"sample": jax.random.PRNGKey(0)},
+            )
+        )
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]  # callers > largest bucket are chunked
+
+    def __call__(self, weather, coords, year, interval,
+                 weather_feature_mask=None):
+        weather = np.asarray(weather, np.float32)
+        n = weather.shape[0]
+        if weather_feature_mask is None:
+            weather_feature_mask = np.zeros(weather.shape, bool)
+        big = self.buckets[-1]
+        if n > big:  # chunk large requests by the largest bucket
+            outs = [self(weather[i:i + big], coords[i:i + big],
+                         year[i:i + big], interval[i:i + big],
+                         weather_feature_mask[i:i + big])
+                    for i in range(0, n, big)]
+            if isinstance(outs[0], tuple):
+                return tuple(np.concatenate(parts) for parts in zip(*outs))
+            return np.concatenate(outs)
+        b = self._bucket(n)
+        pad = b - n
+
+        def padded(x):
+            x = np.asarray(x)
+            return np.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+        out = self._apply(
+            self.params, jnp.asarray(padded(weather)),
+            jnp.asarray(padded(np.asarray(coords, np.float32))),
+            jnp.asarray(padded(np.asarray(year, np.float32))),
+            jnp.asarray(padded(np.asarray(interval, np.float32))),
+            jnp.asarray(padded(weather_feature_mask)),
+        )
+        if isinstance(out, tuple):
+            return tuple(np.asarray(o)[:n] for o in out)
+        return np.asarray(out)[:n]
+
+
+def load_weather_predictor(
+    checkpoint_path: str,
+    model_size: str = "small",
+    model_name: str = "weatherbert",
+    attention_impl: str = "pallas",
+    max_len: int = 365,
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
+) -> WeatherPredictor:
+    from weathermodel_tpu.cli.pretrain import load_pretrained_params, make_model
+
+    cfg = model_config_for_size(model_size, max_len=max_len)
+    model = make_model(model_name, cfg, attention_impl)
+    params = load_pretrained_params(checkpoint_path, cfg.num_layers)
+    params = jax.tree.map(jnp.asarray, params)
+    return WeatherPredictor(model, params, buckets)
