@@ -1,8 +1,9 @@
 """Benchmark: pretraining train-step throughput, samples/sec/chip.
 
 Measures the full jitted train step (on-device masking + forward + loss +
-backward + Adam update) for WeatherBERT-small (~2M params, the BASELINE.json
-metric) on the available TPU chip(s), bfloat16 compute / float32 params.
+backward + Adam update) for WeatherBERT-large (56M params — the BASELINE.json
+north-star metric) on the available TPU chip(s), bfloat16 compute / float32
+params. BENCH_MODEL_SIZE selects other sizes (mini/small/medium).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
@@ -43,8 +44,13 @@ def main():
     from weathermodel_tpu.train.steps import Batch, compile_step, make_train_step
     from weathermodel_tpu.utils.config import model_config_for_size
 
-    size = os.environ.get("BENCH_MODEL_SIZE", "small")
-    batch_per_chip = int(os.environ.get("BENCH_BATCH_PER_CHIP", "512"))
+    # Default = the BASELINE.json north-star config: WeatherBERT-large (56M).
+    size = os.environ.get("BENCH_MODEL_SIZE", "large")
+    # Throughput-optimal per-chip batch per size (measured, BASELINE.md).
+    default_batch = {"mini": 1024, "small": 512, "medium": 512, "large": 192}
+    batch_per_chip = int(
+        os.environ.get("BENCH_BATCH_PER_CHIP", default_batch.get(size, 512))
+    )
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
     attention_impl = os.environ.get("BENCH_ATTENTION", "pallas")
     # "masked_mse" (WeatherBERT) or "elbo" (WeatherFormer variational step)

@@ -107,3 +107,23 @@ def test_pick_best_config(tmp_path):
                      "r2": "FAILED"})
     best = pick_best_config(tsv)
     assert float(best["init_lr"]) == 5e-4
+
+
+def test_console_entry_points_return_none():
+    """setuptools console scripts sys.exit(fn()) — a truthy return (the
+    results dict / TSV path) would become exit code 1. The cli() wrappers
+    must swallow the programmatic return value."""
+    import importlib
+    import tomllib
+
+    scripts = tomllib.load(open("pyproject.toml", "rb"))["project"]["scripts"]
+    for name, target in scripts.items():
+        mod, fn = target.split(":")
+        func = getattr(importlib.import_module(mod), fn)
+        if fn == "cli":
+            import inspect
+
+            src = inspect.getsource(func)
+            assert "return" not in src.split('"""')[-1], (
+                f"{name} cli() must not return a value"
+            )

@@ -117,7 +117,32 @@ def test_eval_step_deterministic_and_no_param_change():
     m1 = ev(state.params, batch, jax.random.PRNGKey(5), np.int32(2))
     m2 = ev(state.params, batch, jax.random.PRNGKey(5), np.int32(2))
     assert float(m1["total_loss"]) == float(m2["total_loss"])
-    assert set(m1) == {"total_loss", "reconstruction", "kl_term"}
+    assert set(m1) == {"total_loss", "reconstruction", "kl_term", "mae"}
+
+
+def test_masked_mae_is_mean_abs_error_on_masked_positions_only():
+    """MAE metric (reference quality contract, weatherbert_trainer.py:46-62):
+    mean |x - pred| over MASKED positions, unmasked positions excluded."""
+    from weathermodel_tpu.ops.masking import make_mask
+    from weathermodel_tpu.train.steps import _objective_losses
+
+    model = WeatherBERT(CFG)
+    batch = _batch(b=8)
+    params = _state(model, batch).params
+    mask = make_mask("weatherbert", jax.random.PRNGKey(7), 8, T,
+                     CFG.weather_dim, prob=0.3, n_masked=np.int32(1))
+    losses = _objective_losses(
+        model, "masked_mse", params, Batch(*map(jnp.asarray, batch)), mask,
+        beta=1.0, deterministic=True, rngs=None, sample_key=None,
+    )
+    pred = model.apply(params, *map(jnp.asarray, batch), mask,
+                       deterministic=True)
+    m = np.asarray(mask)
+    err = np.abs(np.asarray(batch.weather) - np.asarray(pred))
+    expected = err[m].mean()
+    assert abs(float(losses["mae"]) - expected) < 1e-6
+    # and it differs from the all-positions MAE (mask actually matters)
+    assert abs(err.mean() - expected) > 1e-4
 
 
 def test_curriculum_n_masked_is_traced_not_static():

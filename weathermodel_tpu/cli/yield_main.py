@@ -246,5 +246,12 @@ def main(argv=None):
     return run(args)
 
 
-if __name__ == "__main__":
+def cli() -> None:
+    """Console-script entry: setuptools does sys.exit(fn()), so the
+    programmatic result of main() (dict/path) must not leak into the
+    process exit code."""
     main()
+
+
+if __name__ == "__main__":
+    cli()

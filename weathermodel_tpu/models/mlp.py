@@ -16,7 +16,9 @@ MLP_TARGET_FEATURES = (1, 2, 7, 8, 11, 29)
 
 class WeatherMLP(nn.Module):
     cfg: ModelConfig
-    hidden_dim: int = 128
+    # Reference runtime value (mlp_trainer.py:164 passes hidden_dim=512);
+    # ~19.5K params, matching the reference's ~20K MLP baseline.
+    hidden_dim: int = 512
 
     @nn.compact
     def __call__(self, weather, coords=None, year=None, interval=None,

@@ -13,10 +13,15 @@ All functions reduce over every non-batch axis and return shape [batch].
 Feature masks select which (timestep, feature) positions contribute.
 """
 
+import math
+
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
-_LOG_2PI = jnp.log(2.0 * jnp.pi)
+# Plain-python constant: importing this module must never initialize a JAX
+# backend (a module-level jnp.log() would, which breaks consumers that need
+# to force the CPU platform after import — e.g. __graft_entry__.dryrun_multichip).
+_LOG_2PI = math.log(2.0 * math.pi)
 
 
 def gaussian_log_likelihood(x, mu, var, mask, axes=None):

@@ -43,6 +43,11 @@ class Batch(NamedTuple):
     coords: jnp.ndarray    # [B, 2]
     year: jnp.ndarray      # [B, T]
     interval: jnp.ndarray  # [B, 1]
+    # Optional per-sample weight [B] (None = all ones). Used by the
+    # validation remainder path: a short final batch is zero-padded to the
+    # static batch size with weight 0, so metrics are exact for any val-set
+    # size (same 0/1-weight mechanism as data/yield_data.py).
+    weight: Optional[jnp.ndarray] = None
 
 
 OBJECTIVES = ("masked_mse", "elbo", "elbo_sinusoid", "elbo_mixture",
@@ -55,11 +60,28 @@ def _objective_losses(model, objective, params, batch, mask, beta,
         params, batch.weather, batch.coords, batch.year, batch.interval,
         mask, deterministic=deterministic, rngs=rngs,
     )
+    b = batch.weather.shape[0]
+    # Per-sample weights (None = uniform). Zero-weight rows are padding and
+    # must not contribute to any metric.
+    if batch.weight is None:
+        w1 = jnp.ones((b,), jnp.float32)
+    else:
+        w1 = batch.weight.astype(jnp.float32)
+    w3 = w1[:, None, None]
+    wsum = jnp.maximum(jnp.sum(w1), 1.0)
+
+    def wmean(per_sample):  # weighted mean over the batch axis
+        return jnp.sum(per_sample * w1) / wsum
+
     if objective == "masked_mse":
-        se = jnp.square(batch.weather - outputs)
-        msum = jnp.sum(mask)
-        total = jnp.sum(se * mask) / jnp.maximum(msum, 1)
-        return {"total_loss": total}
+        err = batch.weather - outputs
+        wm = mask * w3
+        msum = jnp.maximum(jnp.sum(wm), 1)
+        total = jnp.sum(jnp.square(err) * wm) / msum
+        # Masked-feature MAE: the reference's headline pretraining quality
+        # metric (BASELINE.md; loss definition weatherbert_trainer.py:46-62).
+        mae = jnp.sum(jnp.abs(err) * wm) / msum
+        return {"total_loss": total, "mae": mae}
 
     if objective == "mlp_mse":
         # Full-sequence MSE on the 6 fixed crop-relevant features, plus
@@ -68,7 +90,11 @@ def _objective_losses(model, objective, params, batch, mask, beta,
         from weathermodel_tpu.models.mlp import MLP_TARGET_FEATURES
 
         target = batch.weather[:, :, list(MLP_TARGET_FEATURES)]
-        feature_losses = jnp.mean(jnp.square(outputs - target), axis=(0, 1))
+        t = target.shape[1]
+        feature_losses = (
+            jnp.sum(jnp.square(outputs - target) * w3, axis=(0, 1))
+            / (wsum * t)
+        )
         result = {"total_loss": jnp.mean(feature_losses)}
         for i, feat in enumerate(MLP_TARGET_FEATURES):
             result[f"feature_{feat}_mse"] = feature_losses[i]
@@ -76,10 +102,10 @@ def _objective_losses(model, objective, params, batch, mask, beta,
 
     # Variational objectives: per-sample sums normalized by the batch-mean
     # masked count (reference weatherformer_trainer.py:90-99).
-    n_masked = jnp.mean(jnp.sum(mask, axis=(1, 2)).astype(jnp.float32))
+    n_masked = wmean(jnp.sum(mask, axis=(1, 2)).astype(jnp.float32))
     n_masked = jnp.maximum(n_masked, 1.0)
     mu_x, var_x = outputs[0], outputs[1]
-    recon = jnp.mean(
+    recon = wmean(
         -gaussian_log_likelihood(batch.weather, mu_x, var_x, mask) / n_masked
     )
     if objective == "elbo":
@@ -96,11 +122,17 @@ def _objective_losses(model, objective, params, batch, mask, beta,
         kl = mixture_kl_divergence(z, mask, mu_x, var_x, mu_k, var_k, log_w_k)
     else:
         raise ValueError(f"Unknown objective: {objective}")
-    kl_term = beta * jnp.mean(kl) / n_masked
+    kl_term = beta * wmean(kl) / n_masked
+    # Masked-feature MAE of the predictive mean (quality metric shared
+    # with the masked_mse objective for cross-model comparison).
+    wm = mask * w3
+    mae = jnp.sum(jnp.abs(batch.weather - mu_x) * wm) / jnp.maximum(
+        jnp.sum(wm), 1)
     return {
         "total_loss": recon + kl_term,
         "reconstruction": recon,
         "kl_term": kl_term,
+        "mae": mae,
     }
 
 
