@@ -24,7 +24,12 @@ jax.config.update("jax_platforms", "cpu")
 # Pallas kernels only compile on TPU; on the CPU test backend run them in
 # interpreter mode globally so any test may touch a pallas path regardless
 # of collection order.
-from weathermodel_tpu.ops import pallas_attention, pallas_ffn  # noqa: E402
+from weathermodel_tpu.ops import (  # noqa: E402
+    pallas_attention,
+    pallas_dropout,
+    pallas_ffn,
+)
 
 pallas_attention.set_interpret(True)
+pallas_dropout.set_interpret(True)
 pallas_ffn.set_interpret(True)

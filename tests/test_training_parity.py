@@ -91,3 +91,79 @@ def test_20_step_loss_trajectory_matches_torch():
     np.testing.assert_allclose(losses_jax, losses_torch, rtol=1e-2)
     # and training actually learns
     assert losses_jax[-1] < losses_jax[0]
+
+
+def test_dropout_on_statistical_parity():
+    """Dropout-ON equivalence (round-1 VERDICT weak #5 / next-step #9):
+    bit-identical dropout streams are impossible cross-framework, so train
+    small seed-ensembles with dropout 0.1 on identical data + identical
+    converted initial weights and require the ensemble-mean loss curves to
+    agree within the ensemble noise. Pins train-mode semantics (all four
+    dropout sites live, 1/(1-p) scaling) end to end."""
+    n_seeds, n_steps, lr = 6, 8, 1e-3
+    cfg = ModelConfig(num_heads=4, num_layers=2, hidden_dim_factor=12,
+                      max_len=T, dropout_rate=0.1)
+    weather, coords, year, interval, masks = _data(3)
+    w0, m0 = weather[0], masks[0]  # fixed batch/mask across steps
+
+    model = WeatherBERT(cfg)
+    params0 = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(w0), jnp.asarray(coords), jnp.asarray(year),
+        jnp.asarray(interval), jnp.asarray(m0))
+
+    tx = optax.adam(lr)
+
+    @jax.jit
+    def jstep(params, opt_state, key):
+        def loss_fn(p):
+            out = model.apply(
+                p, jnp.asarray(w0), jnp.asarray(coords), jnp.asarray(year),
+                jnp.asarray(interval), jnp.asarray(m0),
+                deterministic=False, rngs={"dropout": key})
+            se = jnp.square(jnp.asarray(w0) - out)
+            return jnp.sum(se * m0) / jnp.sum(m0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def run_jax(seed):
+        params, opt_state = params0, tx.init(params0)
+        key = jax.random.PRNGKey(100 + seed)
+        losses = []
+        for _ in range(n_steps):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = jstep(params, opt_state, sub)
+            losses.append(float(loss))
+        return losses
+
+    def run_torch(seed):
+        torch.manual_seed(500 + seed)
+        tm = TorchWeatherBERT(cfg)
+        _load_flax_into_torch(tm, params0)
+        tm.train()
+        opt = torch.optim.Adam(tm.parameters(), lr=lr)
+        tw, tc = torch.from_numpy(w0), torch.from_numpy(coords)
+        ty, ti = torch.from_numpy(year), torch.from_numpy(interval)
+        tmask = torch.from_numpy(m0)
+        losses = []
+        for _ in range(n_steps):
+            opt.zero_grad()
+            out = tm(tw, tc, ty, ti, tmask)
+            loss = torch.sum((tw - out) ** 2 * tmask) / tmask.sum()
+            loss.backward()
+            opt.step()
+            losses.append(float(loss))
+        return losses
+
+    jl = np.array([run_jax(s) for s in range(n_seeds)])   # [seeds, steps]
+    tl = np.array([run_torch(s) for s in range(n_seeds)])
+    # per-step ensemble means must agree within combined standard error
+    jm, tm_ = jl.mean(0), tl.mean(0)
+    se = np.sqrt(jl.var(0) / n_seeds + tl.var(0) / n_seeds)
+    # step 0 is pre-update and identical up to dropout noise; later steps
+    # accumulate optimizer-path differences only through dropout draws
+    assert np.all(np.abs(jm - tm_) < 4 * se + 5e-4), (
+        f"jax means {jm}\ntorch means {tm_}\nallowed {4 * se + 5e-4}"
+    )

@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--masking-prob", default=0.30, type=float)
     p.add_argument("--n-mixture-components", default=1, type=int)
     p.add_argument("--beta", default=0.5, type=float)
+    p.add_argument("--freqs", default="weekly",
+                   help="comma-separated granularities to stream together "
+                        "(daily,weekly,monthly) — multi-scale temporal "
+                        "pretraining; per-frequency year/interval derivation "
+                        "(reference nasa_power/dataloader.py:12-26)")
     p.add_argument("--data-dir", default=None,
                    help="chunk-store root (default: WEATHERMODEL_DATA_DIR)")
     p.add_argument("--workdir", default="checkpoints/pretraining")
@@ -150,6 +155,7 @@ def run(args: argparse.Namespace) -> dict:
     dcfg = PretrainDataConfig(
         data_dir=args.data_dir or constants.DATA_DIR,
         batch_size=args.batch_size,
+        freqs=tuple(f.strip() for f in args.freqs.split(",") if f.strip()),
     )
 
     def make_loaders(split, shuffle, seed):

@@ -21,43 +21,29 @@ YIELD_MODELS = (
 
 
 def _run_gnnrnn_cv(args, crop_df, country: str) -> dict:
-    """GNN-RNN takes its own full-graph data/trainer path (see
-    weathermodel_tpu/train/gnn_trainer.py); the fold->test-year mapping and
-    RMSE/R^2 aggregation match the shared CV contract."""
-    from weathermodel_tpu.data.gnnrnn_data import get_gnn_train_test_arrays
+    """GNN-RNN runs through the SAME cross-validation machinery as every
+    other yield model (GNNCrossValidator subclasses YieldCrossValidator):
+    fold->test-year mapping, per-fold best-params checkpoint,
+    yield_output.json, LR finder, and RMSE/R^2 aggregation all shared."""
     from weathermodel_tpu.models.gnn import GNNRNNYieldModel
-    from weathermodel_tpu.train.gnn_trainer import GNNYieldTrainer
-    from weathermodel_tpu.train.yield_trainer import (
-        YieldFoldResult,
-        aggregate_cv_results,
-        select_test_years,
-    )
+    from weathermodel_tpu.train.gnn_trainer import GNNCrossValidator
     from weathermodel_tpu.utils.config import TrainConfig
 
-    years = select_test_years(args.test_type, country, args.crop_type)
     tcfg = TrainConfig(
         batch_size=args.batch_size, num_epochs=args.n_epochs,
         init_lr=args.init_lr, num_warmup_epochs=args.n_warmup_epochs,
         decay_factor=args.decay_factor, seed=args.seed,
+        use_optimal_lr=args.use_optimal_lr,
     )
-    fold_results = []
-    for fold in range(args.cross_validation_k):
-        test_year = years[fold % len(years)]
-        train_arr, test_arr, stats, n_past = get_gnn_train_test_arrays(
-            crop_df, args.n_train_years, test_year, args.n_past_years,
-            args.crop_type, country,
-        )
-        trainer = GNNYieldTrainer(
-            GNNRNNYieldModel(n_past_years=n_past), tcfg, train_arr, test_arr
-        )
-        best = trainer.train()
-        fold_results.append(YieldFoldResult(
-            test_year=test_year, best_val_rmse=best, yield_stats=stats,
-            loss_history=trainer.loss_history,
-        ))
-        logger.info("gnnrnn fold %d test_year=%d RMSE %.2f bu/acre",
-                    fold + 1, test_year, fold_results[-1].rmse_bu_acre)
-    return aggregate_cv_results(fold_results)
+    cv = GNNCrossValidator(
+        make_model=lambda n_past: GNNRNNYieldModel(n_past_years=n_past),
+        model_cfg=None, train_cfg=tcfg, objective="mse", crop_df=crop_df,
+        country=country, crop_type=args.crop_type,
+        n_train_years=args.n_train_years, n_past_years=args.n_past_years,
+        test_type=args.test_type, k_folds=args.cross_validation_k,
+        workdir=args.workdir,
+    )
+    return cv.run()
 
 # model name -> (yield model class factory, objective)
 def _model_table():

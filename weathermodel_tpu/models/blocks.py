@@ -125,6 +125,20 @@ class LayerNormParams(nn.Module):
         return s, b
 
 
+def _dropout(module, x, rate, deterministic, impl):
+    """Dropout dispatch. All impls use XLA's nn.Dropout: every Pallas
+    alternative measured SLOWER in-step at WeatherBERT-large (BASELINE.md
+    round-2 table) — a full dropout kernel serializes the data path
+    (237->369 ms), and even an input-free keep-mask generator kernel
+    (hardware PRNG, ~40x cheaper per draw) loses to XLA's fused mask
+    (237->250 ms) because the mask bytes + lost fusion outweigh the bits.
+    In-kernel PRNG dropout only pays inside compute-heavy kernels
+    (attention). The `impl` arg is kept so future backends can dispatch."""
+    if deterministic or rate <= 0.0:
+        return x
+    return nn.Dropout(rate, deterministic=False)(x)
+
+
 class TransformerEncoderLayer(nn.Module):
     """Post-LN encoder layer, torch defaults (see module docstring).
     With attention_impl="pallas" the whole FFN half (linear1 -> relu ->
@@ -150,7 +164,8 @@ class TransformerEncoderLayer(nn.Module):
             self.hidden_dim, self.num_heads, self.dropout_rate,
             self.attention_impl, self.dtype, name="self_attn",
         )(x, key_padding_mask, deterministic)
-        attn = nn.Dropout(self.dropout_rate, deterministic=deterministic)(attn)
+        attn = _dropout(self, attn, self.dropout_rate, deterministic,
+                        self.attention_impl)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x + attn)
 
         w1, b1 = DenseParams(self.ffn_dim, self.hidden_dim,
@@ -172,12 +187,14 @@ class TransformerEncoderLayer(nn.Module):
                 ln_s, ln_b, dropout_rate=drop, dropout_seed=seed,
             ).astype(self.dtype)
 
-        # XLA path: identical math with materialized intermediates
+        # XLA-matmul path (dropout still dispatches on attention_impl)
         ff = jnp.dot(x, w1.astype(self.dtype)) + b1.astype(self.dtype)
         ff = nn.relu(ff)
-        ff = nn.Dropout(self.dropout_rate, deterministic=deterministic)(ff)
+        ff = _dropout(self, ff, self.dropout_rate, deterministic,
+                      self.attention_impl)
         ff = jnp.dot(ff, w2.astype(self.dtype)) + b2.astype(self.dtype)
-        ff = nn.Dropout(self.dropout_rate, deterministic=deterministic)(ff)
+        ff = _dropout(self, ff, self.dropout_rate, deterministic,
+                      self.attention_impl)
         y = x + ff
         mu = jnp.mean(y, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)

@@ -1,67 +1,42 @@
-"""Chronos-style time-series-foundation-model yield baseline.
+"""Chronos time-series-foundation-model yield baseline.
 
 Capability match for reference
 `src/crop_yield/models/chronos_yield_model.py:15-185`: each of the 31
-weather variables is treated as a univariate series, encoded by a frozen
-chronos-bolt-style patch encoder into per-patch embeddings; embeddings are
-concatenated across variables per patch (31 * d_model), then attention
-pooling + a yield MLP produce the prediction. `load_pretrained` in the
-reference just UNFREEZES the encoder (chronos_yield_model.py:115-126) —
-here freezing is an optimizer mask (frozen_encoder_mask).
+weather variables is treated as a univariate series, encoded by a FROZEN
+chronos-bolt encoder (`pipeline.model.encode()`) into per-patch embeddings;
+the REG token is dropped, embeddings are concatenated across variables per
+patch (31 * d_model), then attention pooling + a yield MLP produce the
+prediction. `load_pretrained` in the reference just UNFREEZES the encoder
+(chronos_yield_model.py:115-126) — here freezing is an optimizer transform
+(freeze_subtree_optimizer).
 
+The encoder is the faithful flax re-implementation of chronos-bolt-tiny in
+`models/chronos_bolt.py` (T5 stack + patch ResidualBlock + instance norm).
 The reference downloads `amazon/chronos-bolt-tiny` from HuggingFace at
-runtime; this environment has no network egress, so the encoder is a
-native JAX patch-transformer with chronos-bolt-tiny's geometry (patch 16,
-d_model 256, 4 heads, 2 layers — tiny config) that can be (a) trained from
-scratch, or (b) initialized from a locally cached torch checkpoint via
-`load_chronos_torch_weights` when one exists. The model API, input/output
-contract, and trainer wiring are identical either way.
+runtime; this environment has no network egress, so the encoder is
+(a) trainable from scratch with identical architecture, or (b) initialized
+1:1 from a locally cached torch checkpoint via
+`load_chronos_torch_weights` (real key/shape mapping, unit-tested against
+a synthetic chronos-bolt state dict + a torch T5 replica).
 """
 
 import logging
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from weathermodel_tpu.models.blocks import (
-    TransformerEncoder,
-    sinusoidal_positional_encoding,
-    torch_dense,
+from weathermodel_tpu.models.blocks import torch_dense
+from weathermodel_tpu.models.chronos_bolt import (
+    CHRONOS_BOLT_TINY,
+    ChronosBoltEncoder,
+    load_torch_state_dict,
 )
 from weathermodel_tpu.utils.config import ModelConfig
 
 logger = logging.getLogger(__name__)
 
-PATCH_SIZE = 16
-ENC_DIM = 256
-ENC_HEADS = 4
-ENC_LAYERS = 2
-
-
-class UnivariatePatchEncoder(nn.Module):
-    """chronos-bolt-style: instance-normalize the series, embed
-    non-overlapping patches, run a small transformer, return per-patch
-    embeddings [B, n_patches, ENC_DIM]."""
-
-    @nn.compact
-    def __call__(self, series, deterministic: bool = True):
-        b, t = series.shape
-        pad = (-t) % PATCH_SIZE
-        x = jnp.pad(series, ((0, 0), (0, pad)))
-        n_patches = x.shape[1] // PATCH_SIZE
-        # instance norm (chronos scales each series by its own stats)
-        mean = jnp.mean(x, axis=1, keepdims=True)
-        std = jnp.std(x, axis=1, keepdims=True) + 1e-6
-        x = (x - mean) / std
-        x = x.reshape(b, n_patches, PATCH_SIZE)
-        x = torch_dense(ENC_DIM, PATCH_SIZE, name="patch_embed")(x)
-        pe = sinusoidal_positional_encoding(n_patches, ENC_DIM)
-        x = x + jnp.asarray(pe)[None]
-        return TransformerEncoder(
-            ENC_DIM, ENC_HEADS, 4 * ENC_DIM, ENC_LAYERS, name="encoder"
-        )(x, None, deterministic)
+ENC_DIM = CHRONOS_BOLT_TINY.d_model
 
 
 class ChronosYieldModel(nn.Module):
@@ -78,20 +53,27 @@ class ChronosYieldModel(nn.Module):
         b, t, f = weather.shape
         weather = weather * (~weather_feature_mask)
         # [B, T, F] -> F univariate series folded into the batch: [B*F, T]
+        # (reference chronos_yield_model.py:140-145)
         series = weather.transpose(0, 2, 1).reshape(b * f, t)
-        emb = UnivariatePatchEncoder(name="chronos_encoder")(
+        emb = ChronosBoltEncoder(name="chronos_encoder")(
             series, deterministic
-        )                                        # [B*F, P, D]
+        )                                        # [B*F, P(+REG), D]
+        if CHRONOS_BOLT_TINY.use_reg_token:
+            emb = emb[:, :-1, :]  # drop REG (reference :147-149)
         p = emb.shape[1]
         # concat embeddings across variables per patch: [B, P, F*D]
         emb = emb.reshape(b, f, p, ENC_DIM).transpose(0, 2, 1, 3)
         emb = emb.reshape(b, p, f * ENC_DIM)
 
-        attn = torch_dense(1, f * ENC_DIM, name="attn_layer")(emb)
+        # weather_attention = Linear(total,16) -> GELU -> Linear(16,1)
+        # (reference :31-33)
+        total = f * ENC_DIM
+        a = nn.gelu(torch_dense(16, total, name="attn_fc1")(emb))
+        attn = torch_dense(1, 16, name="attn_fc2")(a)
         attn = jax.nn.softmax(attn, axis=1)
         pooled = jnp.sum(emb * attn, axis=1)     # [B, F*D]
         x = jnp.concatenate([pooled, y_past], axis=1)
-        fan_in = f * ENC_DIM + self.n_past_years + 1
+        fan_in = total + self.n_past_years + 1
         x = nn.gelu(torch_dense(120, fan_in, name="mlp_fc1")(x))
         return torch_dense(1, 120, name="mlp_fc2")(x)
 
@@ -122,17 +104,18 @@ def freeze_subtree_optimizer(tx, params, frozen: bool = True,
 
 
 def load_chronos_torch_weights(params, torch_ckpt_path: str):
-    """Best-effort initializer from a locally cached chronos-bolt torch
-    checkpoint. Maps patch-embedding and encoder-layer weights where shapes
-    line up; logs and skips anything it cannot map (the environment has no
-    network, so this only runs when a cache exists)."""
+    """Initialize the chronos_encoder subtree from a locally cached
+    chronos-bolt torch checkpoint (full state dict or a model object).
+    Raises on missing keys / shape mismatches — never silently returns the
+    input params."""
     import torch
 
     sd = torch.load(torch_ckpt_path, weights_only=False, map_location="cpu")
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    logger.warning(
-        "load_chronos_torch_weights: loaded %d tensors; automated mapping "
-        "of chronos-bolt internals is best-effort", len(sd)
+    new_params = load_torch_state_dict(params, sd)
+    logger.info(
+        "load_chronos_torch_weights: initialized chronos_encoder from %s "
+        "(%d checkpoint tensors)", torch_ckpt_path, len(sd),
     )
-    return params
+    return new_params

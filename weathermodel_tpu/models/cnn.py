@@ -105,7 +105,9 @@ class SoilCNN(nn.Module):
         x = _avg_pool_1d(x)                       # len 1
         # k=2 with pad 1 on a length-1 input -> length 2 (torch Conv1d pad=1)
         x = _torch_conv(12, 2, 8 * 2, padding=((1, 1),), name="conv3")(x)
-        x = x.reshape(b * n_years * n_meas, -1)   # 24
+        # flatten channel-major (torch [N, C, L] Flatten order) so converted
+        # torch checkpoints feed per_measure_fc identically
+        x = x.transpose(0, 2, 1).reshape(b * n_years * n_meas, -1)  # 24
         x = nn.relu(torch_dense(12, 24, name="per_measure_fc")(x))
         x = x.reshape(b * n_years, n_meas * 12)
         x = torch_dense(40, n_meas * 12, name="soil_fc")(x)

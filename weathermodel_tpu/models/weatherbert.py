@@ -37,6 +37,7 @@ class WeatherEncoderCore(nn.Module):
     cfg: ModelConfig
     attention_impl: str = "xla"
     remat: bool = False
+    ffn_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -80,6 +81,7 @@ class WeatherEncoderCore(nn.Module):
             attention_impl=self.attention_impl,
             dtype=dtype,
             remat=self.remat,
+            ffn_impl=self.ffn_impl,
             name="encoder",
         )(x, src_key_padding_mask, deterministic)
         return x
@@ -92,6 +94,7 @@ class WeatherBERT(nn.Module):
     attention_impl: str = "xla"
     remat: bool = False
     name_tag: str = "weatherbert"
+    ffn_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -107,7 +110,7 @@ class WeatherBERT(nn.Module):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         hidden = WeatherEncoderCore(
-            cfg, self.attention_impl, self.remat, name="core"
+            cfg, self.attention_impl, self.remat, self.ffn_impl, name="core"
         )(
             weather, coords, year, interval, weather_feature_mask,
             src_key_padding_mask, deterministic,

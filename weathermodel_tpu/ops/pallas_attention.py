@@ -67,22 +67,39 @@ def _pad_len(t: int) -> int:
     return ((t + LANE - 1) // LANE) * LANE
 
 
-def _softmax_weights(q, k, scale, t_real):
-    """scores -> masked, stabilized softmax weights. Matmul operands stay
-    in the input dtype (bf16 on the hot path) with f32 ACCUMULATION —
-    f32-operand matmuls run 3-6x slower on the MXU; this matches the XLA
-    path's numerics class exactly. Softmax math is f32."""
+def _softmax_parts(qs, k, t_real):
+    """qs (= q * scale) @ k^T -> (masked unnormalized exp, 1/rowsum).
+
+    VPU-pass-minimized softmax (the kernels are VPU-bound, not MXU-bound —
+    BASELINE.md step budget). Tricks, all exact:
+      * scale is pre-folded into q ([Tp, hd] mul instead of [Tp, Tp]),
+      * softmax(s) is invariant to ANY per-row offset m as long as exp
+        doesn't overflow, so m = rowmax over the FULL row (padded cols
+        contribute exact 0 scores because k's pad rows are zeros) — no
+        separate -inf masking pass before the max,
+      * padding-column zeroing is fused into the exp pass,
+      * normalization is a reciprocal multiply, fused into the caller's
+        dropout/cast pass.
+    Matmul operands stay in the input dtype (bf16 on the hot path) with f32
+    ACCUMULATION — f32-operand matmuls run 3-6x slower on the MXU. exp/
+    normalize stay f32 (bf16 exp measured SLOWER on v5e, abl round 2)."""
+    # Scores are f32: the MXU accumulator is 32-bit (Mosaic rejects bf16
+    # acc), and a separate f32->bf16 cast pass measured net-slower than
+    # keeping the softmax math f32 (abl round 2).
     scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        qs, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale                                 # [Tp, Tp] f32
+    )                                          # [Tp, Tp] f32
     tp = scores.shape[0]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
     if t_real < tp:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col < t_real, scores, _NEG_INF)
-    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-    w = jnp.exp(scores)
-    return w / jnp.sum(w, axis=-1, keepdims=True)
+        e = jnp.where(col < t_real, e, jnp.zeros([], e.dtype))
+    # f32 sum; +tiny guards the degenerate all-masked/underflowed-row case
+    recip = 1.0 / (jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+                   + 1e-30)
+    return e, recip
 
 
 def _dropout_mask(shape, rate):
@@ -100,14 +117,19 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_real,
         q = q_ref[i, :, sl]                       # [Tp, hd] input dtype
         k = k_ref[i, :, sl]
         v = v_ref[i, :, sl]
-        w = _softmax_weights(q, k, scale, t_real)
+        e, recip = _softmax_parts(q * scale, k, t_real)
         if dropout_rate > 0.0:
             pltpu.prng_seed(seed_ref[0]
                             + (pl.program_id(0) * block_b + i) * num_heads
                             + j)
-            keep = _dropout_mask(w.shape, dropout_rate)
-            w = jnp.where(keep, w / (1.0 - dropout_rate), 0.0)
-        out = jnp.dot(w.astype(q.dtype), v,
+            keep = _dropout_mask(e.shape, dropout_rate)
+            # normalization + inverse-keep scaling + drop: ONE pass, in the
+            # input dtype (recip row-vector rounds to it)
+            scl = (recip / (1.0 - dropout_rate)).astype(e.dtype)
+            w16 = jnp.where(keep, e * scl, jnp.zeros([], e.dtype))
+        else:
+            w16 = e * recip.astype(e.dtype)
+        out = jnp.dot(w16.astype(q.dtype), v,
                       preferred_element_type=jnp.float32)
         o_ref[i, :, sl] = out.astype(o_ref.dtype)
 
@@ -128,9 +150,10 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
         k = k_ref[i, :, sl]
         v = v_ref[i, :, sl]
         do = do_ref[i, :, sl]
-        tp = q.shape[0]
         dt = q.dtype
-        w = _softmax_weights(q, k, scale, t_real)   # [Tp, Tp] f32
+        qs = q * scale
+        e, recip = _softmax_parts(qs, k, t_real)    # [Tp, Tp] input dtype
+        w = e * recip.astype(e.dtype)               # pre-dropout softmax
 
         if dropout_rate > 0.0:
             # identical PRNG stream as the forward pass
@@ -139,12 +162,13 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
                             + j)
             keep = _dropout_mask(w.shape, dropout_rate)
             inv_keep = 1.0 / (1.0 - dropout_rate)
-            wd = jnp.where(keep, w * inv_keep, 0.0)
+            wd16 = jnp.where(keep, w * inv_keep,
+                             jnp.zeros([], w.dtype)).astype(dt)
         else:
-            wd = w
+            wd16 = w.astype(dt)
 
         dv = jax.lax.dot_general(                   # wd^T @ do
-            wd.astype(dt), do, (((0,), (0,)), ((), ())),
+            wd16, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dwd = jax.lax.dot_general(                  # do @ v^T
@@ -152,19 +176,20 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
             preferred_element_type=jnp.float32,
         )
         if dropout_rate > 0.0:
-            dw = jnp.where(keep, dwd * inv_keep, 0.0)
+            dw = jnp.where(keep, dwd * inv_keep, jnp.zeros([], dwd.dtype))
         else:
             dw = dwd
-        ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
-        if t_real < tp:
-            col = jax.lax.broadcasted_iota(jnp.int32, ds.shape, 1)
-            ds = jnp.where(col < t_real, ds, 0.0)
+        # padded cols have w == 0 exactly, so ds vanishes there — no extra
+        # masking pass needed. Row sums accumulate f32.
+        rowsum = jnp.sum((dw * w).astype(jnp.float32), axis=-1,
+                         keepdims=True)
+        ds = w * (dw - rowsum.astype(w.dtype))
         ds16 = ds.astype(dt)
         dq = jnp.dot(ds16, k, preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(                   # ds^T @ q
-            ds16, q, (((0,), (0,)), ((), ())),
+        dk = jax.lax.dot_general(                   # ds^T @ (q * scale)
+            ds16, qs, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        )
         dq_ref[i, :, sl] = dq.astype(dq_ref.dtype)
         dk_ref[i, :, sl] = dk.astype(dk_ref.dtype)
         dv_ref[i, :, sl] = dv.astype(dv_ref.dtype)

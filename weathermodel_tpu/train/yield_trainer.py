@@ -413,26 +413,33 @@ class YieldCrossValidator:
         self.pretrained_encoder_params = pretrained_encoder_params
         self.workdir = workdir
 
+    def _fold_trainer(self, test_year: int, fold_dir: Optional[str]):
+        """Build (trainer, stats) for one fold. Overridden by the GNN-RNN
+        cross-validator (train/gnn_trainer.py) so every model family shares
+        the same fold loop, artifacts, and aggregation."""
+        test_gap = 4 if self.test_type == "ahead_pred" else 0
+        train_arr, test_arr, stats, eff_n_past = get_train_test_arrays(
+            self.crop_df, self.n_train_years, test_year,
+            self.n_past_years, self.crop_type, self.country, test_gap,
+        )
+        trainer = YieldTrainer(
+            self.make_model(), self.model_cfg, self.train_cfg,
+            self.objective, train_arr, test_arr, eff_n_past,
+            pretrained_encoder_params=self.pretrained_encoder_params,
+            init_key=jax.random.PRNGKey(self.train_cfg.seed),
+            workdir=fold_dir,
+        )
+        return trainer, stats
+
     def run(self) -> Dict[str, Any]:
         years = select_test_years(self.test_type, self.country, self.crop_type)
-        test_gap = 4 if self.test_type == "ahead_pred" else 0
         fold_results: List[YieldFoldResult] = []
         for fold in range(self.k_folds):
             test_year = years[fold % len(years)]
             t0 = time.time()
-            train_arr, test_arr, stats, eff_n_past = get_train_test_arrays(
-                self.crop_df, self.n_train_years, test_year,
-                self.n_past_years, self.crop_type, self.country, test_gap,
-            )
             fold_dir = (f"{self.workdir}/fold_{fold}_year_{test_year}"
                         if self.workdir else None)
-            trainer = YieldTrainer(
-                self.make_model(), self.model_cfg, self.train_cfg,
-                self.objective, train_arr, test_arr, eff_n_past,
-                pretrained_encoder_params=self.pretrained_encoder_params,
-                init_key=jax.random.PRNGKey(self.train_cfg.seed),
-                workdir=fold_dir,
-            )
+            trainer, stats = self._fold_trainer(test_year, fold_dir)
             best = trainer.train()
             fold_results.append(YieldFoldResult(
                 test_year=test_year, best_val_rmse=best, yield_stats=stats,
