@@ -139,6 +139,9 @@ def main():
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(per_chip / PYTORCH_GPU_BASELINE[size], 3),
+        # the reference publishes no numbers (SURVEY.md §6); the denominator
+        # is the estimated PyTorch-H100 throughput derived in BASELINE.md
+        "baseline_note": "denominator is an estimate, see BASELINE.md",
     }))
 
 

@@ -68,19 +68,23 @@ def main():
             out = model.apply(pp, w, jnp.asarray(coords), jnp.asarray(year),
                               jnp.asarray(interval), m)
             se = jnp.square(w - out)
-            return jnp.sum(se * m) / jnp.sum(m)
+            mae = jnp.sum(jnp.abs(w - out) * m) / jnp.sum(m)
+            return jnp.sum(se * m) / jnp.sum(m), mae
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, mae), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), opt_state, loss, mae
 
-    print(f"{'step':>5} {'jax_loss':>12} {'torch_loss':>12} {'rel_drift':>10}")
+    print(f"{'step':>5} {'jax_loss':>12} {'torch_loss':>12} {'rel_drift':>10}"
+          f" {'jax_mae':>10} {'torch_mae':>10}")
     drifts = []
+    maes = []
     for i in range(args.steps):
-        params, opt_state, loss = step(params, opt_state,
-                                       jnp.asarray(weather[i]),
-                                       jnp.asarray(masks[i]))
+        params, opt_state, loss, mae = step(params, opt_state,
+                                            jnp.asarray(weather[i]),
+                                            jnp.asarray(masks[i]))
         lj = float(loss)
+        mae_j = float(mae)
 
         w_t = torch.from_numpy(weather[i])
         m_t = torch.from_numpy(masks[i])
@@ -88,17 +92,26 @@ def main():
         out = tm(w_t, torch.from_numpy(coords), torch.from_numpy(year),
                  torch.from_numpy(interval), m_t)
         loss_t = torch.nn.functional.mse_loss(out[m_t], w_t[m_t])
+        # masked-feature MAE: the reference's headline quality metric
+        # (weatherbert_trainer.py:46-62 loss family)
+        mae_t = float(torch.nn.functional.l1_loss(
+            out[m_t], w_t[m_t]).detach())
         loss_t.backward()
         opt_t.step()
         lt = float(loss_t.detach())
 
         drift = abs(lj - lt) / max(abs(lt), 1e-12)
         drifts.append(drift)
+        maes.append((mae_j, mae_t))
         if i % max(1, args.steps // 10) == 0 or i == args.steps - 1:
-            print(f"{i:>5} {lj:>12.6f} {lt:>12.6f} {drift:>10.2e}")
+            print(f"{i:>5} {lj:>12.6f} {lt:>12.6f} {drift:>10.2e}"
+                  f" {mae_j:>10.6f} {mae_t:>10.6f}")
 
     print(f"\nmax relative loss drift over {args.steps} steps: "
           f"{max(drifts):.3e} (step-0: {drifts[0]:.3e})")
+    mae_drift = max(abs(a - b) / max(abs(b), 1e-12) for a, b in maes)
+    print(f"final masked MAE: jax {maes[-1][0]:.6f} vs torch "
+          f"{maes[-1][1]:.6f}; max relative MAE drift {mae_drift:.3e}")
 
 
 if __name__ == "__main__":

@@ -74,3 +74,62 @@ def test_find_extreme_years_detects_anomaly():
     # the injected drought year must be flagged (a 1-sigma rule on
     # low-variance series also flags some noise years — expected)
     assert 2012 in extremes
+
+
+def test_yearly_yield_with_change_and_plot(tmp_path):
+    import pandas as pd
+
+    from weathermodel_tpu.analysis.yield_stats import (
+        plot_yearly_yield,
+        yearly_yield_with_change,
+    )
+
+    rows = []
+    for year in range(1980, 1990):
+        for loc in range(3):
+            rows.append({"year": year, "State": "S", "County": loc,
+                         "wheat_yield": 1000.0 * (year - 1979) + loc})
+    df = pd.DataFrame(rows)
+    out = yearly_yield_with_change(df, "wheat", to_mt_per_ha=True,
+                                   min_year=1982)
+    assert out["year"].min() == 1982
+    # /1000 scaling and exact YoY delta of the linear series
+    np.testing.assert_allclose(out["yield_change"].to_numpy(), 1.0)
+    p = str(tmp_path / "yield.png")
+    plot_yearly_yield(df, "wheat", unit="MT/H", out_path=p,
+                      to_mt_per_ha=True)
+    assert os.path.getsize(p) > 0
+
+
+def test_gridsearch_sensitivity_tables_and_plot(tmp_path):
+    import pandas as pd
+
+    from weathermodel_tpu.analysis.gridsearch_plots import (
+        best_r2_by,
+        hyperparam_sensitivity,
+        load_grid_results,
+        plot_hyperparam_sensitivity,
+    )
+
+    rows = []
+    for bs in (16, 32, 64):
+        for lr in (0.00025, 0.0005, 0.001):
+            for beta in (0.0, 0.0001, 0.001):
+                r2 = 0.5 + 0.001 * bs / 64 + lr * 10 + beta
+                rows.append({"batch_size": bs, "init_lr": lr, "beta": beta,
+                             "year_15_r2": f"{r2:.4f} ± 0.0100"})
+    tsv = str(tmp_path / "grid_search_weatherformer.tsv")
+    pd.DataFrame(rows).to_csv(tsv, sep="\t", index=False)
+
+    df = load_grid_results(tsv)
+    assert "r2" in df and df["r2"].dtype == float
+    # best R2 at each batch size is the one with max lr+beta
+    best = best_r2_by(df, "batch_size", (16, 32, 64))
+    assert best[2] > best[0]
+    tables = hyperparam_sensitivity({"weatherformer": df, "bert": df})
+    assert set(tables["batch"]) == {"weatherformer", "bert"}
+    assert set(tables["beta"]) == {"weatherformer"}  # variational only
+    p = str(tmp_path / "sensitivity.png")
+    plot_hyperparam_sensitivity({"weatherformer": df, "bert": df},
+                                out_path=p)
+    assert os.path.getsize(p) > 0

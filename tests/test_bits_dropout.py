@@ -1,0 +1,96 @@
+"""ops/dropout.py bits_dropout: rate, scaling, determinism, gradient-exact
+backward (regenerated mask == forward mask), model-path integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from weathermodel_tpu.ops import dropout as fd
+
+
+def test_keep_rate_and_scaling():
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((512, 512), jnp.float32)
+    y = fd.bits_dropout(x, key, 0.1)
+    kept = np.asarray(y > 0)
+    # survivors scaled by exactly 1/0.9
+    np.testing.assert_allclose(np.asarray(y)[kept], 1.0 / 0.9, rtol=1e-6)
+    # empirical drop rate ~ 0.1 (threshold 6554/65536 = 0.1000061)
+    assert abs(1.0 - kept.mean() - 0.1) < 4e-3
+
+
+def test_deterministic_per_key_and_independent_across_keys():
+    x = jnp.ones((64, 128), jnp.bfloat16)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    y1a = fd.bits_dropout(x, k1, 0.1)
+    y1b = fd.bits_dropout(x, k1, 0.1)
+    y2 = fd.bits_dropout(x, k2, 0.1)
+    assert jnp.array_equal(y1a, y1b)
+    assert not jnp.array_equal(y1a, y2)
+
+
+def test_backward_mask_matches_forward():
+    # d/dx sum(dropout(x)) = mask * scale == dropout(ones): the backward
+    # regenerates the forward's exact mask from the key.
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(jax.random.PRNGKey(1), (128, 384))
+    g = jax.grad(lambda x: jnp.sum(fd.bits_dropout(x, key, 0.1)))(x)
+    expected = fd.bits_dropout(jnp.ones_like(x), key, 0.1)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(expected))
+    # and the fwd output is consistent with that mask
+    y = fd.bits_dropout(x, key, 0.1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(g * x), rtol=1e-6)
+
+
+def test_odd_size_fallback():
+    key = jax.random.PRNGKey(11)
+    x = jnp.ones((3, 5, 7), jnp.float32)  # 105 elements, odd
+    y = fd.bits_dropout(x, key, 0.25)
+    vals = np.unique(np.asarray(y).round(6))
+    assert set(vals).issubset({0.0, np.float32(1 / 0.75).round(6)})
+
+
+def test_rate_zero_and_none_key_identity():
+    x = jnp.arange(12.0).reshape(3, 4)
+    assert fd.dropout(x, None, 0.1) is x
+    assert fd.dropout(x, jax.random.PRNGKey(0), 0.0) is x
+
+
+@pytest.mark.parametrize("impl", ["bits16", "nn"])
+def test_encoder_layer_runs_with_either_impl(impl):
+    from weathermodel_tpu.models.blocks import TransformerEncoderLayer
+
+    old = fd.get_impl()
+    fd.set_impl(impl)
+    try:
+        layer = TransformerEncoderLayer(hidden_dim=32, num_heads=4,
+                                        ffn_dim=64, dropout_rate=0.1)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 32))
+        params = layer.init(
+            {"params": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)}, x, deterministic=False)
+        y = layer.apply(params, x, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(3)})
+        assert y.shape == x.shape and bool(jnp.all(jnp.isfinite(y)))
+        # train-mode stochasticity across keys
+        y2 = layer.apply(params, x, deterministic=False,
+                         rngs={"dropout": jax.random.PRNGKey(4)})
+        assert not jnp.array_equal(y, y2)
+        # eval path unaffected by impl
+        ye = layer.apply(params, x, deterministic=True)
+        assert bool(jnp.all(jnp.isfinite(ye)))
+    finally:
+        fd.set_impl(old)
+
+
+def test_statistical_match_with_nn_dropout():
+    # mean/var of dropout output should match nn.Dropout's to sampling noise
+    import flax.linen as nn
+
+    x = jnp.ones((256, 512))
+    y_bits = fd.bits_dropout(x, jax.random.PRNGKey(0), 0.1)
+    y_nn = nn.Dropout(0.1, deterministic=False).apply(
+        {}, x, rngs={"dropout": jax.random.PRNGKey(0)})
+    assert abs(float(y_bits.mean()) - float(y_nn.mean())) < 5e-3
+    assert abs(float(y_bits.var()) - float(y_nn.var())) < 5e-3

@@ -102,3 +102,38 @@ def test_end_to_end_feeds_cropnet_pipeline(tmp_path):
     )
     assert train.weather.shape[0] > 0 and test.weather.shape[0] == 3
     assert stats.std > 0
+
+def test_create_fips_code_nan_tolerant():
+    from weathermodel_tpu.data.etl_cropnet import create_fips_code
+
+    assert create_fips_code(17, 43) == 17043
+    assert pd.isna(create_fips_code(np.nan, 43))
+    out = create_fips_code([17, np.nan], [43, 1])
+    assert out.iloc[0] == 17043 and pd.isna(out.iloc[1])
+
+
+def test_ordered_columns_and_target_fips(tmp_path):
+    from weathermodel_tpu.data.etl_cropnet import (
+        build_combined_cropnet_csv,
+        ordered_columns,
+    )
+
+    daily = [_daily_frame(fips=19001), _daily_frame(fips=17043, seed=1)]
+    corn = pd.DataFrame({
+        "State ANSI": [19, 17], "County ANSI": [1, 43],
+        "Year": [2020, 2020],
+        "YIELD, MEASURED IN BU / ACRE": [180.0, 175.0],
+    })
+    combined = build_combined_cropnet_csv(
+        daily, {"Corn": corn}, str(tmp_path / "c.csv"),
+        target_fips={"17043"})
+    # county filter applied (MMST-ViT list semantics, reference :720-737)
+    assert set(combined["fips"].astype(int)) == {17043}
+    cols = list(combined.columns)
+    # ids first, then yields, then weather grouped by variable/week order
+    assert cols[:6] == ["year", "state", "county", "fips", "lat", "lon"]
+    yield_cols = [c for c in cols if c.endswith("_yield")]
+    assert cols[6:6 + len(yield_cols)] == yield_cols
+    w = [c for c in cols if c.startswith("temp_avg_")]
+    assert w == [f"temp_avg_{k}" for k in range(1, 53)]
+    assert ordered_columns(combined) == cols

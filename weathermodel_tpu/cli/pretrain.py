@@ -20,6 +20,7 @@ logger = logging.getLogger(__name__)
 PRETRAIN_MODELS = (
     "weatherbert", "weatherformer", "weatherformersinusoid",
     "weatherformermixture", "weatherautoencoder", "simmtm", "mlp",
+    "weathercnn",
 )
 
 
@@ -91,6 +92,12 @@ def make_model(name: str, cfg: ModelConfig, attention_impl: str,
     }
     if name == "mlp":
         return WeatherMLP(cfg)
+    if name == "weathercnn":
+        # ✚ working redesign of the reference's shape-broken standalone CNN
+        # pretraining path (weathercnn_trainer.py; see models/cnn.py).
+        from weathermodel_tpu.models.cnn import WeatherCNNPretrain
+
+        return WeatherCNNPretrain(cfg.weather_dim, cfg.max_len)
     if name not in table:
         raise ValueError(
             f"Unknown model type: {name}. Choose one of "
@@ -108,6 +115,7 @@ TRAINER_KEY = {
     "weatherautoencoder": "weatherautoencoder",
     "simmtm": "simmtm",
     "mlp": "mlp",
+    "weathercnn": "weathercnn",
 }
 
 

@@ -24,3 +24,4 @@ from weathermodel_tpu.data.cropnet_data import (
     read_cropnet_dataset,
     synthetic_cropnet_df,
 )
+from weathermodel_tpu.data import etl_noaa

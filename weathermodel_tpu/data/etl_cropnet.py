@@ -46,6 +46,32 @@ CROP_YIELD_UNITS = {
 }
 
 
+def create_fips_code(state_ansi, county_ansi):
+    """state*1000 + county, NaN-tolerant (reference :434-439)."""
+    s = pd.to_numeric(pd.Series(np.atleast_1d(state_ansi)), errors="coerce")
+    c = pd.to_numeric(pd.Series(np.atleast_1d(county_ansi)), errors="coerce")
+    out = s * 1000 + c
+    return out.iloc[0] if np.isscalar(state_ansi) else out
+
+
+def ordered_columns(df: pd.DataFrame) -> list:
+    """Output schema: ids, yield columns, then weather columns grouped by
+    variable and sorted by week 1..52; leftovers appended (reference
+    :568-601)."""
+    id_cols = ["year", "state", "county", "fips", "lat", "lon"]
+    crop_cols = [c for c in df.columns if c.endswith("_yield")]
+    planned = id_cols + crop_cols + [
+        f"{var}_{wk}" for var in WEATHER_COLUMNS.values()
+        for wk in range(1, 53)
+    ]
+    seen, cols = set(), []
+    for c in planned + list(df.columns):
+        if c in df.columns and c not in seen:
+            cols.append(c)
+            seen.add(c)
+    return cols
+
+
 def week_number(day_of_year):
     """Day-of-year -> week 1..52, leap/trailing days folded into week 52
     (reference :50-53)."""
@@ -117,10 +143,19 @@ def combine_cropnet(weather_weekly: pd.DataFrame,
 
 def build_combined_cropnet_csv(daily_frames: Iterable[pd.DataFrame],
                                crop_frames: Dict[str, pd.DataFrame],
-                               out_path: str) -> pd.DataFrame:
+                               out_path: str,
+                               target_fips=None) -> pd.DataFrame:
+    """End-to-end transform + save with the reference's output column order
+    (:604-618). `target_fips` (set of str/int fips) restricts counties to
+    the MMST-ViT list when provided (reference :720-737,:254-276)."""
     weekly = pd.concat([daily_to_weekly(d) for d in daily_frames],
                        ignore_index=True)
     combined = combine_cropnet(weekly, usda_to_yields(crop_frames))
+    if target_fips is not None:
+        wanted = {int(f) for f in target_fips}
+        combined = combined[combined["fips"].astype(int).isin(wanted)]
+        combined = combined.reset_index(drop=True)
+    combined = combined[ordered_columns(combined)]
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     combined.to_csv(out_path, index=False)
     logger.info("wrote %s (%d rows)", out_path, len(combined))

@@ -126,17 +126,24 @@ class LayerNormParams(nn.Module):
 
 
 def _dropout(module, x, rate, deterministic, impl):
-    """Dropout dispatch. All impls use XLA's nn.Dropout: every Pallas
-    alternative measured SLOWER in-step at WeatherBERT-large (BASELINE.md
-    round-2 table) — a full dropout kernel serializes the data path
-    (237->369 ms), and even an input-free keep-mask generator kernel
-    (hardware PRNG, ~40x cheaper per draw) loses to XLA's fused mask
-    (237->250 ms) because the mask bytes + lost fusion outweigh the bits.
-    In-kernel PRNG dropout only pays inside compute-heavy kernels
-    (attention). The `impl` arg is kept so future backends can dispatch."""
+    """Dropout dispatch. Default is ops/dropout.py's bits_dropout — pure
+    XLA with 16-bit random words and a backward that REGENERATES the mask
+    from the key instead of storing a bool residual (see its docstring for
+    the measured motivation). Every Pallas alternative measured SLOWER
+    in-step at WeatherBERT-large (BASELINE.md round-2 table) — a full
+    dropout kernel serializes the data path (237->369 ms), and even an
+    input-free keep-mask generator kernel (hardware PRNG, ~40x cheaper per
+    draw) loses to XLA's fused mask (237->250 ms) because the mask bytes +
+    lost fusion outweigh the bits. In-kernel PRNG dropout only pays inside
+    compute-heavy kernels (attention). `ops.dropout.set_impl("nn")`
+    restores flax nn.Dropout (ablation)."""
     if deterministic or rate <= 0.0:
         return x
-    return nn.Dropout(rate, deterministic=False)(x)
+    from weathermodel_tpu.ops import dropout as fast_dropout
+
+    if fast_dropout.get_impl() == "nn":
+        return nn.Dropout(rate, deterministic=False)(x)
+    return fast_dropout.dropout(x, module.make_rng("dropout"), rate)
 
 
 class TransformerEncoderLayer(nn.Module):

@@ -17,8 +17,8 @@ Capability match (SURVEY.md §2.2/§2.6):
 NOTE (documented quirk, not copied): the reference's standalone
 WeatherCNNTrainer (weathercnn_trainer.py:48-61) boolean-indexes the CNN's
 [B, n_years, output_dim] output with a [B, T, 31] mask — shape-incompatible
-and unreachable from pretraining_main; there is no working CNN pretraining
-path to match (SURVEY.md §7 quirks).
+and unreachable from pretraining_main (SURVEY.md §7 quirks).
+WeatherCNNPretrain below is the working ✚ redesign of that intent.
 """
 
 from typing import Optional
@@ -90,6 +90,44 @@ class WeatherCNN(nn.Module):
         x = x.reshape(b * n_years, per_year)
         x = nn.relu(torch_dense(self.output_dim, per_year, name="fc")(x))
         return x.reshape(b, n_years, self.output_dim)
+
+
+class WeatherCNNPretrain(nn.Module):
+    """Masked-MSE pretraining with the WeatherCNN encoder — working ✚
+    redesign of the reference's shape-broken standalone WeatherCNNTrainer
+    (weathercnn_trainer.py:23-106: it indexes the encoder's [B, Y, out]
+    output with a [B, T, F] boolean mask, and `view(B, Y, 52, F)` crashes
+    outright for T=365; the loop is also unreachable from pretraining_main
+    dispatch — SURVEY.md §7). Intent preserved: BERT-style masking -> zero
+    masked cells -> per-(year, feature) conv pyramid -> per-year FC with
+    output_dim = weather_dim (the reference runtime value,
+    weathercnn_trainer.py:123-128). The redesign adds the missing piece: a
+    per-year linear decoder from the feature vector back to that year's
+    [52, F] block, so the model returns a full [B, T, F] reconstruction
+    compatible with the masked-MSE objective (train/steps.py). T is
+    zero-padded up to a whole number of 52-week years (static shapes)."""
+
+    weather_dim: int
+    max_len: int
+    output_dim: int = 0  # 0 -> weather_dim (reference runtime value)
+
+    @nn.compact
+    def __call__(self, weather, coords=None, year=None, interval=None,
+                 weather_feature_mask=None, src_key_padding_mask=None,
+                 deterministic: bool = True):
+        b, t, f = weather.shape
+        out_dim = self.output_dim or self.weather_dim
+        n_years = -(-t // WEEKS)
+        pad = n_years * WEEKS - t
+        w = weather
+        if weather_feature_mask is not None:
+            w = w * (~weather_feature_mask)
+        if pad:
+            w = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
+        feats = WeatherCNN(f, out_dim, n_years * WEEKS, name="cnn")(w)
+        recon = torch_dense(WEEKS * f, out_dim, name="decoder")(feats)
+        recon = recon.reshape(b, n_years * WEEKS, f)
+        return recon[:, :t, :]
 
 
 class SoilCNN(nn.Module):

@@ -1,0 +1,109 @@
+"""XLA dropout with a recomputed backward mask and 16-bit random bits.
+
+Standard flax dropout (``nn.Dropout``) costs ~42 ms/step on the
+WeatherBERT-large train step (B=192, v5e-1; BASELINE.md round-2 table):
+the RngBitGenerator output (32 random bits per element) is materialized
+in HBM, and the boolean keep-mask is stored as a backward residual
+(one HBM write in forward + one read in backward). Both costs are
+removable without leaving XLA (a Pallas dropout kernel was measured
+SLOWER — the pallas_call boundary breaks fusion; see
+``ops/pallas_dropout.py`` docstring):
+
+- **16-bit bits**: a Bernoulli(0.9) draw needs nowhere near 32 bits of
+  entropy. We draw half as many uint32 words and bitcast each into two
+  uint16 lanes, halving generator traffic. The keep threshold is
+  ``round(rate * 2**16)`` — an effective drop rate of 6554/65536 =
+  0.1000061 for rate=0.1, statistically indistinguishable from torch's
+  fp32-uniform threshold (itself 24-bit granular).
+- **recomputed backward**: dropout is linear in x for a fixed mask, and
+  the mask is a pure function of (key, shape, rate). ``jax.custom_vjp``
+  regenerates the identical mask in the backward pass from the saved
+  key instead of round-tripping a bool residual through HBM.
+
+Semantics match torch/flax dropout (reference uses torch defaults,
+``src/pretraining/models/weatherbert.py:45-54``): keep with probability
+``1-rate``, survivors scaled by ``1/(1-rate)``, identity when
+deterministic or rate==0.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+# "bits16" -> bits_dropout below (custom_vjp, recomputed mask);
+# "bits16_ad" -> same mask, standard AD (mask saved as residual);
+# "nn" (default) -> flax nn.Dropout.
+# Selectable for ablation: scripts/abl_dropout.py.
+_IMPL = "nn"
+
+
+def set_impl(value: str) -> None:
+    global _IMPL
+    # "skip" disables the XLA-side sites only (ablation: isolates the
+    # in-kernel attention dropout cost)
+    assert value in ("bits16", "bits16_ad", "nn", "skip"), value
+    _IMPL = value
+
+
+def get_impl() -> str:
+    return _IMPL
+
+
+def _keep_mask(key, shape, rate):
+    """Bernoulli(1-rate) keep mask from 16-bit random words.
+
+    Drawn as native uint16 (XLA RngBitGenerator emits u16 directly under
+    the rbg implementation — half the generator bytes of u32; NO bitcast
+    from u32: a u32->u16 bitcast introduces a minor dim of 2, whose
+    relayout measured 42 ms/step SLOWER at WeatherBERT-large).
+    Deterministic in (key, shape, rate) — the backward pass relies on
+    regenerating the exact same mask.
+    """
+    raw = jax.random.bits(key, shape, jnp.uint16)
+    return raw >= jnp.uint16(round(rate * 65536))
+
+
+def _apply(x, key, rate):
+    keep = _keep_mask(key, x.shape, rate)
+    scale = jnp.asarray(1.0 / (1.0 - rate), x.dtype)
+    return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bits_dropout(x, key, rate):
+    """Dropout(x) with rate `rate` (static float), randomness from `key`.
+
+    Gradient-exact: the backward applies the identical mask to the
+    cotangent (regenerated from `key`, never stored).
+    """
+    return _apply(x, key, rate)
+
+
+def _fwd(x, key, rate):
+    return _apply(x, key, rate), key
+
+
+def _bwd(rate, key, dy):
+    return _apply(dy, key, rate), None
+
+
+bits_dropout.defvjp(_fwd, _bwd)
+
+
+def bits_dropout_ad(x, key, rate):
+    """Same 16-bit mask, standard AD: XLA saves the keep-mask as a
+    backward residual instead of regenerating it (ablation alternative)."""
+    return _apply(x, key, rate)
+
+
+def dropout(x, key, rate: float):
+    """Rate-0 / None-key tolerant convenience wrapper."""
+    if rate <= 0.0 or key is None:
+        return x
+    if _IMPL == "skip":
+        return x
+    if _IMPL == "bits16_ad":
+        return bits_dropout_ad(x, key, rate)
+    return bits_dropout(x, key, rate)

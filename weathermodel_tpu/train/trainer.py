@@ -43,6 +43,9 @@ OBJECTIVE_FOR_MODEL = {
     "weatherformer_sinusoid": ("elbo_sinusoid", "weatherformer"),
     "weatherformer_mixture": ("elbo_mixture", "weatherformer"),
     "mlp": ("mlp_mse", "weatherbert"),  # mask generated but ignored
+    # ✚ working redesign of the reference's broken standalone CNN path
+    # (weathercnn_trainer.py:36-38: BERT masking "for consistency")
+    "weathercnn": ("masked_mse", "weatherbert"),
 }
 
 
