@@ -22,7 +22,9 @@ from weathermodel_tpu.train.state import create_train_state, make_optimizer
 from weathermodel_tpu.train.steps import Batch, make_train_step
 from weathermodel_tpu.utils.config import model_config_for_size
 
-B, T, F = 192, 365, 31
+import os
+B = int(os.environ.get("ABL_B", "192"))
+T, F = 365, 31
 STEPS = 20
 
 

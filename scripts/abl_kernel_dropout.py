@@ -15,6 +15,8 @@ import numpy as np
 
 jax.config.update("jax_default_prng_impl", "rbg")
 
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from scripts.abl_dropout import full_step
 from scripts.abl_large import bench
 

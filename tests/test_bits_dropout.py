@@ -94,3 +94,26 @@ def test_statistical_match_with_nn_dropout():
         {}, x, rngs={"dropout": jax.random.PRNGKey(0)})
     assert abs(float(y_bits.mean()) - float(y_nn.mean())) < 5e-3
     assert abs(float(y_bits.var()) - float(y_nn.var())) < 5e-3
+
+
+def test_bits8_dithered_rate_exact_in_expectation():
+    # marginal drop rate over many keys approaches 0.1 exactly (threshold
+    # dithering corrects the 1/256 quantization)
+    x = jnp.ones((64, 256))
+    drops = []
+    f = jax.jit(lambda k: 1.0 - jnp.mean(
+        (fd.bits8_dropout(x, k, 0.1) > 0).astype(jnp.float32)))
+    for s in range(64):
+        drops.append(float(f(jax.random.PRNGKey(s))))
+    mean_rate = np.mean(drops)
+    assert abs(mean_rate - 0.1) < 2e-3
+    # per-call realized rates cluster at the two adjacent thresholds
+    assert min(drops) > 0.08 and max(drops) < 0.12
+
+
+def test_bits8_backward_matches_forward_mask():
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 512))
+    g = jax.grad(lambda x: jnp.sum(fd.bits8_dropout(x, key, 0.1)))(x)
+    y = fd.bits8_dropout(x, key, 0.1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(g * x), rtol=1e-6)

@@ -42,6 +42,14 @@ def save_chunk(path: str, weather: np.ndarray, coords: np.ndarray,
 
 
 def load_chunk(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reads via the native C++ parser (GIL-free IO + decode, prefetch
+    cache — data/native_io.py) when available; numpy otherwise. Both paths
+    return bit-identical arrays (tests/test_native_io.py)."""
+    from weathermodel_tpu.data import native_io
+
+    arrs = native_io.load_npz(path, ("weather", "coords", "index"))
+    if arrs is not None:
+        return arrs["weather"], arrs["coords"], arrs["index"]
     with np.load(path) as z:
         return z["weather"], z["coords"], z["index"]
 

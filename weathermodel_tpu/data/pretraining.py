@@ -122,7 +122,14 @@ def pretrain_batches(
 
     carry: Optional[List[np.ndarray]] = None
     bs = cfg.batch_size
-    for freq, cid in plan:
+    for k, (freq, cid) in enumerate(plan):
+        # overlap the NEXT chunk's disk read + decode with this chunk's
+        # training steps (native background thread; no-op without the lib)
+        if k + 1 < len(plan):
+            from weathermodel_tpu.data import native_io
+
+            nf, nc = plan[k + 1]
+            native_io.prefetch(chunk_path(cfg.data_dir, nf, nc))
         w, c, y, itv = _load_chunk_arrays(cfg, freq, cid)
         if w.shape[0] == 0:
             continue

@@ -39,11 +39,21 @@ import jax.numpy as jnp
 _IMPL = "nn"
 
 
+_IMPLS = (
+    "auto",       # maskgen on TPU, bits8 elsewhere (default)
+    "maskgen",    # pallas packed-mask kernel (ops/pallas_maskgen.py)
+    "bits16",     # where-form, custom_vjp mask recompute
+    "bits16_ad",  # where-form, standard AD (bool residual)
+    "mul16",      # multiply-form (x * mask_scale), custom_vjp recompute
+    "bits8",      # 8-bit words (dithered threshold), custom_vjp
+    "nn",         # flax nn.Dropout
+    "skip",       # XLA-side sites disabled (ablation: isolates kernel cost)
+)
+
+
 def set_impl(value: str) -> None:
     global _IMPL
-    # "skip" disables the XLA-side sites only (ablation: isolates the
-    # in-kernel attention dropout cost)
-    assert value in ("bits16", "bits16_ad", "nn", "skip"), value
+    assert value in _IMPLS, value
     _IMPL = value
 
 
@@ -98,12 +108,67 @@ def bits_dropout_ad(x, key, rate):
     return _apply(x, key, rate)
 
 
+def _apply_mul(x, key, rate):
+    keep = _keep_mask(key, x.shape, rate)
+    m = keep.astype(x.dtype) * jnp.asarray(1.0 / (1.0 - rate), x.dtype)
+    return x * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def mul_dropout(x, key, rate):
+    """Multiply-form dropout (x * mask_scale) — multiplies fuse into dot
+    epilogues more readily than selects on some XLA versions."""
+    return _apply_mul(x, key, rate)
+
+
+mul_dropout.defvjp(lambda x, key, rate: (_apply_mul(x, key, rate), key),
+                   lambda rate, key, dy: (_apply_mul(dy, key, rate), None))
+
+
+def _apply8(x, key, rate):
+    """8-bit words with a DITHERED threshold, so the marginal drop
+    probability is exact despite 1/256 granularity: rate*256 = t + f
+    (integer t, fraction f); the per-call threshold is t + Bernoulli(f)
+    drawn from a scalar fold of the key. E[P(drop)] = (t + f)/256 = rate
+    exactly; within one call all elements share the dithered threshold
+    (realized rate varies by ±1/256 like any finite sample). Generator
+    traffic is half of u16, a quarter of u32."""
+    t = int(rate * 256)
+    f = rate * 256 - t
+    kd, kt = jax.random.split(key)
+    thr = jnp.uint8(t) + (jax.random.uniform(kt, ()) < f).astype(jnp.uint8)
+    raw = jax.random.bits(kd, x.shape, jnp.uint8)
+    keep = raw >= thr
+    scale = jnp.asarray(1.0 / (1.0 - rate), x.dtype)
+    return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bits8_dropout(x, key, rate):
+    return _apply8(x, key, rate)
+
+
+bits8_dropout.defvjp(lambda x, key, rate: (_apply8(x, key, rate), key),
+                     lambda rate, key, dy: (_apply8(dy, key, rate), None))
+
+
 def dropout(x, key, rate: float):
     """Rate-0 / None-key tolerant convenience wrapper."""
     if rate <= 0.0 or key is None:
         return x
-    if _IMPL == "skip":
+    impl = _IMPL
+    if impl == "auto":
+        impl = "maskgen" if jax.default_backend() == "tpu" else "bits8"
+    if impl == "skip":
         return x
-    if _IMPL == "bits16_ad":
+    if impl == "maskgen":
+        from weathermodel_tpu.ops.pallas_maskgen import packed_dropout
+
+        return packed_dropout(x, key, rate)
+    if impl == "bits16_ad":
         return bits_dropout_ad(x, key, rate)
+    if impl == "mul16":
+        return mul_dropout(x, key, rate)
+    if impl == "bits8":
+        return bits8_dropout(x, key, rate)
     return bits_dropout(x, key, rate)
