@@ -137,3 +137,32 @@ def test_scraper_offline_raises():
 
     with pytest.raises(RuntimeError, match="unreachable"):
         scrape_nasa_power_region(30, 35, -100, -92, timeout=3)
+
+
+def test_standardize_wide_csv_weekly(tmp_path):
+    from weathermodel_tpu.data.etl import standardize_wide_csv_weekly
+
+    rng = np.random.default_rng(1)
+    rows = []
+    for loc in range(40):
+        row = {"lat": float(loc), "lng": 0.0, "Year": 2000}
+        for w in range(1, 53):
+            # week-dependent mean so global scaling CANNOT whiten it
+            row[f"T2M_{w}"] = rng.normal(w * 1.0, 2.0)
+        rows.append(row)
+    df = pd.DataFrame(rows)
+    scalers = {
+        f"week_{w}": {"param_means": {"T2M": float(w)},
+                      "param_stds": {"T2M": 2.0}}
+        for w in range(1, 53)
+    }
+    out = standardize_wide_csv_weekly(df, scalers)
+    for w in (1, 26, 52):
+        col = out[f"T2M_{w}"].to_numpy()
+        assert abs(col.mean()) < 0.8 and abs(col.std() - 1.0) < 0.5
+    # std<=0 weeks are skipped, not divided by zero (reference behavior)
+    scalers["week_1"]["param_stds"]["T2M"] = 0.0
+    out2 = standardize_wide_csv_weekly(df, scalers)
+    np.testing.assert_array_equal(out2["T2M_1"].to_numpy(),
+                                  df.sort_values(["lat", "lng", "Year"])
+                                  ["T2M_1"].to_numpy())

@@ -113,6 +113,27 @@ def standardize_wide_csv(df: pd.DataFrame, seq_len: int,
     return df.sort_values(by=["lat", "lng", "Year"])
 
 
+def standardize_wide_csv_weekly(df: pd.DataFrame,
+                                weekly_scalers: Dict) -> pd.DataFrame:
+    """Per-WEEK z-scoring: each `{param}_{week}` column standardized by
+    that week's mean/std from the weekly_weather_param_scalers.json schema
+    (reference dataloader_weekly_scalers.py:30-63; std==0 columns left
+    unscaled, matching the reference's skip-with-warning)."""
+    df = df.copy()
+    for param in WEATHER_PARAMS:
+        for week in range(1, 53):
+            col = f"{param}_{week}"
+            wk = weekly_scalers.get(f"week_{week}")
+            if col not in df.columns or wk is None:
+                continue
+            mean = wk["param_means"].get(param)
+            std = wk["param_stds"].get(param)
+            if mean is None or std is None or std <= 0:
+                continue
+            df[col] = (df[col] - mean) / std
+    return df.sort_values(by=["lat", "lng", "Year"])
+
+
 def wide_csv_to_windows(df: pd.DataFrame, seq_len: int, frequency_days: int,
                         num_years: int = NUM_YEARS
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

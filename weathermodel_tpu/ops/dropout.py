@@ -32,16 +32,20 @@ import math
 import jax
 import jax.numpy as jnp
 
-# "bits16" -> bits_dropout below (custom_vjp, recomputed mask);
-# "bits16_ad" -> same mask, standard AD (mask saved as residual);
-# "nn" (default) -> flax nn.Dropout.
-# Selectable for ablation: scripts/abl_dropout.py.
-_IMPL = "nn"
+# Default "auto" resolves to bits8 (the measured-best impl on BOTH
+# backends): u8 words with a dithered exact-rate threshold. Measured at
+# WeatherBERT-large B=192 (BASELINE.md round-2b): nn 237 ms -> bits16
+# 225 -> bits8 218.3 ms/step. Pallas mask-generator kernels (packed
+# 1-bit and native-layout bool) measured WORSE in-step (244 / 297 ms)
+# despite cheap generation — the pallas_call boundaries serialize the
+# XLA schedule; kept for the record in ops/pallas_maskgen.py.
+_IMPL = "auto"
 
 
 _IMPLS = (
-    "auto",       # maskgen on TPU, bits8 elsewhere (default)
-    "maskgen",    # pallas packed-mask kernel (ops/pallas_maskgen.py)
+    "auto",       # best kernel variant on TPU, bits8 elsewhere
+    "maskgen",    # pallas packed-(1-bit)-mask kernel (ops/pallas_maskgen.py)
+    "maskgen_bool",  # pallas bool-mask kernel, native layout (no unpack)
     "bits16",     # where-form, custom_vjp mask recompute
     "bits16_ad",  # where-form, standard AD (bool residual)
     "mul16",      # multiply-form (x * mask_scale), custom_vjp recompute
@@ -158,13 +162,17 @@ def dropout(x, key, rate: float):
         return x
     impl = _IMPL
     if impl == "auto":
-        impl = "maskgen" if jax.default_backend() == "tpu" else "bits8"
+        impl = "bits8"
     if impl == "skip":
         return x
     if impl == "maskgen":
         from weathermodel_tpu.ops.pallas_maskgen import packed_dropout
 
         return packed_dropout(x, key, rate)
+    if impl == "maskgen_bool":
+        from weathermodel_tpu.ops.pallas_maskgen import bool_dropout
+
+        return bool_dropout(x, key, rate)
     if impl == "bits16_ad":
         return bits_dropout_ad(x, key, rate)
     if impl == "mul16":

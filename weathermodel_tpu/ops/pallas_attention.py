@@ -42,8 +42,11 @@ _NEG_INF = -1e30
 # with the hidden dim so buffers (+double-buffering, + ~4MB of [Tp, Tp]
 # f32 temporaries) stay inside the 16MB VMEM scoped limit; the backward
 # keeps ~2x more buffers live so it gets a smaller block.
-_VMEM_BUDGET = 10 * 1024 * 1024
-_MAX_BLOCK_B = 8
+import os
+
+_VMEM_BUDGET = int(os.environ.get("WM_ATTN_VMEM_BUDGET",
+                                  10 * 1024 * 1024))
+_MAX_BLOCK_B = int(os.environ.get("WM_ATTN_MAX_BLOCK_B", 8))
 
 
 def _block_sizes(tp: int, h: int, itemsize: int):

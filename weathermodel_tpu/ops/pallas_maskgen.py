@@ -107,6 +107,85 @@ def _bwd(rate, packed, dy):
 _packed_dropout2d.defvjp(_fwd, _bwd)
 
 
+_BOOL_BLOCK_ROWS = 512
+
+
+def _bool_kernel(seed_ref, o_ref, *, rate):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 65537)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(o_ref.shape), jnp.uint32)
+    o_ref[...] = bits >= jnp.uint32(int(rate * 4294967296.0))
+
+
+def bool_keep_mask(m: int, c: int, rate: float, seed) -> jnp.ndarray:
+    """bool [m, c] keep mask straight from the hardware PRNG, generated in
+    the consumer's native [rows, c] layout (c on lanes) so the consuming
+    `where` fuses with NO reshape/relayout. 1 byte/element of HBM traffic
+    — 4x less than u32 words, and the generation itself is ~40x cheaper
+    than XLA's RngBitGenerator. The packed (1-bit) variant above saves 8x
+    more bytes but its unpack breaks fusion (measured +1.4 ms vs +0.6 on
+    the FFN sandwich); bytes are cheaper than a broken fusion."""
+    assert c % 128 == 0, c
+    block = min(_BOOL_BLOCK_ROWS, m)
+    pad = (-m) % block
+    spec = pl.BlockSpec((block, c), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=((m + pad) // block,),
+        in_specs=[],
+        out_specs=spec,
+    )
+    seed = jnp.reshape(seed, (1,)).astype(jnp.int32)
+    out = pl.pallas_call(
+        functools.partial(_bool_kernel, rate=float(rate)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m + pad, c), jnp.bool_),
+        interpret=False,
+    )(seed)
+    return jax.lax.stop_gradient(out[:m])
+
+
+def _apply_bool(x2d, keep, rate):
+    scale = jnp.asarray(1.0 / (1.0 - rate), x2d.dtype)
+    return jnp.where(keep, x2d * scale, jnp.zeros((), x2d.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _bool_dropout2d(x2d, seed, rate):
+    keep = bool_keep_mask(x2d.shape[0], x2d.shape[1], rate, seed)
+    return _apply_bool(x2d, keep, rate)
+
+
+def _bool_fwd(x2d, seed, rate):
+    keep = bool_keep_mask(x2d.shape[0], x2d.shape[1], rate, seed)
+    return _apply_bool(x2d, keep, rate), keep
+
+
+def _bool_bwd(rate, keep, dy):
+    return _apply_bool(dy, keep, rate), None
+
+
+_bool_dropout2d.defvjp(_bool_fwd, _bool_bwd)
+
+
+def bool_dropout(x, key, rate: float):
+    """Dropout via the bool-mask kernel (the measured-best kernel variant).
+    Same shape constraints/fallback as packed_dropout."""
+    if rate <= 0.0 or key is None:
+        return x
+    shape = x.shape
+    m = 1
+    for s in shape[:-1]:
+        m *= int(s)
+    c = int(shape[-1])
+    if c % 128:
+        from weathermodel_tpu.ops.dropout import bits8_dropout
+
+        return bits8_dropout(x, key, rate)
+    seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
+    return _bool_dropout2d(x.reshape(m, c), seed, rate).reshape(shape)
+
+
 def packed_dropout(x, key, rate: float):
     """Dropout(x) with the packed-mask kernel. x: [..., C] with
     prod(leading) % 32 == 0 and C % 128 == 0 (the transformer activation
