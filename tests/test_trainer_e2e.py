@@ -91,3 +91,25 @@ def test_trainer_pretrained_init(data_dir, tmp_path):
     )
     want = np.asarray(pre["params"]["core"]["in_proj"]["kernel"])
     np.testing.assert_array_equal(got, want)
+
+
+def test_trainer_fsdp_end_to_end(data_dir, tmp_path):
+    # FSDP trainer run converges like DP and its state stays sharded
+    import jax
+
+    from weathermodel_tpu.parallel.mesh import DATA_AXIS
+
+    mcfg = ModelConfig(num_heads=4, num_layers=1, hidden_dim_factor=16,
+                       max_len=T)
+    tcfg = TrainConfig(batch_size=16, num_epochs=2, init_lr=1e-3,
+                       num_warmup_epochs=1, decay_factor=None)
+    trainer = PretrainTrainer(
+        WeatherBERT(mcfg), "weatherbert", mcfg, tcfg,
+        _make_loaders(data_dir), workdir=str(tmp_path / "fsdp"),
+        fsdp=True,
+    )
+    result = trainer.train()
+    assert np.isfinite(result["best_val_loss"])
+    sharded = [l for l in jax.tree.leaves(trainer.state.params)
+               if DATA_AXIS in tuple(getattr(l.sharding, "spec", ()))]
+    assert len(sharded) >= 2

@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder layers in backward (trade "
                         "FLOPs for HBM; for large models / long sequences)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params + optimizer moments over the 'data' "
+                        "mesh axis (ZeRO-3-style; per-chip state memory / "
+                        "n_devices, gathers ride ICI)")
     p.add_argument("--prng", default="rbg",
                    choices=("rbg", "threefry2x32"),
                    help="rbg = hardware-accelerated PRNG for masking/dropout"
@@ -181,6 +185,7 @@ def run(args: argparse.Namespace) -> dict:
         workdir=args.workdir,
         pretrained_params=pretrained,
         resume=args.resume_from_checkpoint is not None,
+        fsdp=args.fsdp,
     )
     return trainer.train()
 

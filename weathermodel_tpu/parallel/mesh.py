@@ -94,15 +94,88 @@ def param_sharding_rules(path_tuple, shape, mesh: Mesh) -> P:
     return P()
 
 
-def shard_params(params, mesh: Mesh):
-    """Apply `param_sharding_rules` over a param pytree."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+def fsdp_sharding_rules(path_tuple, shape, mesh: Mesh,
+                        min_elems: int = 2 ** 14) -> P:
+    """Fully-sharded-data-parallel (ZeRO-3-style) layout: every large
+    parameter is sharded along its largest divisible axis over 'data'.
+    Under jit, XLA all-gathers a param just-in-time for its op and
+    reduce-scatters its gradient — parameter + optimizer memory per chip
+    drops by the data-axis size, at the cost of gather traffic over ICI.
+    The reference has no equivalent (DDP replicates, SURVEY.md §2.11);
+    this is scale-out capability beyond parity. Small tensors (LayerNorm,
+    biases, < min_elems) stay replicated — sharding them buys nothing and
+    costs latency."""
+    n = mesh.shape[DATA_AXIS]
+    if n == 1 or int(np.prod(shape)) < min_elems:
+        return P()
+    for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if shape[i] % n == 0:
+            spec = [None] * len(shape)
+            spec[i] = DATA_AXIS
+            return P(*spec)
+    return P()
+
+
+def combined_sharding_rules(path_tuple, shape, mesh: Mesh,
+                            fsdp: bool = False) -> P:
+    """TP rules first (they need specific axes); FSDP fills the rest on an
+    unused axis. A param TP-sharded on axis j gets its OTHER largest
+    divisible axis sharded over 'data' when fsdp is on (2-D sharding)."""
+    tp = param_sharding_rules(path_tuple, shape, mesh)
+    if not fsdp:
+        return tp
+    n = mesh.shape[DATA_AXIS]
+    if n == 1 or int(np.prod(shape)) < 2 ** 14:
+        return tp
+    spec = list(tp) + [None] * (len(shape) - len(tp))
+    for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if spec[i] is None and shape[i] % n == 0:
+            spec[i] = DATA_AXIS
+            return P(*spec)
+    return tp
+
+
+def shard_params(params, mesh: Mesh, fsdp: bool = False):
+    """Apply the TP (and optionally FSDP) layout over a param pytree."""
 
     def spec_for(path, leaf):
         keys = tuple(
             getattr(k, "key", getattr(k, "idx", str(k))) for k in path
         )
-        return NamedSharding(mesh, param_sharding_rules(keys, leaf.shape, mesh))
+        return NamedSharding(
+            mesh, combined_sharding_rules(keys, leaf.shape, mesh, fsdp=fsdp)
+        )
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jax.device_put(leaf, spec_for(path, leaf)), params
+    )
+
+
+def ensure_on_mesh(tree, mesh: Mesh):
+    """Replicate over `mesh` any leaf not already placed on it (optimizer
+    scalars like adam's `count`, the step counter) so a state mixing
+    FSDP/TP-sharded tensors and freshly created scalars has one consistent
+    device set for jit."""
+    rep = replicated_sharding(mesh)
+
+    def fix(l):
+        s = getattr(l, "sharding", None)
+        if isinstance(s, NamedSharding) and s.mesh == mesh:
+            return l
+        return jax.device_put(l, rep)
+
+    return jax.tree.map(fix, tree)
+
+
+def shard_params_fsdp(params, mesh: Mesh):
+    """Pure-FSDP layout (no TP): shard every large param over 'data'."""
+
+    def spec_for(path, leaf):
+        keys = tuple(
+            getattr(k, "key", getattr(k, "idx", str(k))) for k in path
+        )
+        return NamedSharding(mesh,
+                             fsdp_sharding_rules(keys, leaf.shape, mesh))
 
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: jax.device_put(leaf, spec_for(path, leaf)), params

@@ -188,19 +188,29 @@ def make_eval_step(model, objective: str, masking: str, *,
 
 
 def compile_step(step_fn, mesh, *, donate_state: bool = False,
-                 n_batch_args: int = 1, state_first: bool = True):
+                 n_batch_args: int = 1, state_first: bool = True,
+                 state_shardings=None):
     """jit a step over a mesh: the batch arg is pinned sharded over 'data';
     the state keeps whatever sharding its arrays carry (replicated for pure
     DP, 'model'-sharded for TP via shard_params). Argument order convention:
-    (state_or_params, batch, *scalars)."""
+    (state_or_params, batch, *scalars).
+
+    `state_shardings` (a pytree of NamedSharding matching the state, e.g.
+    `jax.tree.map(lambda l: l.sharding, state)`) pins the OUTPUT state
+    layout too — required for FSDP/TP state to STAY sharded across steps
+    (GSPMD otherwise may re-replicate updated params)."""
     import inspect
 
     bs = batch_sharding(mesh)
     n_args = len(inspect.signature(step_fn).parameters)
-    shardings = [None] * n_args
+    shardings = [state_shardings] + [None] * (n_args - 1)
     shardings[1] = bs
+    out_shardings = None
+    if state_shardings is not None:
+        out_shardings = (state_shardings, None)
     return jax.jit(
         step_fn,
         in_shardings=tuple(shardings),
+        out_shardings=out_shardings,
         donate_argnums=(0,) if donate_state else (),
     )

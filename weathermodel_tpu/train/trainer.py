@@ -63,6 +63,7 @@ class PretrainTrainer:
         resume: bool = False,
         objective: Optional[str] = None,
         masking: Optional[str] = None,
+        fsdp: bool = False,
     ):
         """make_loaders(split, shuffle, seed) -> iterator of Batch."""
         self.model = model
@@ -88,11 +89,25 @@ class PretrainTrainer:
             # caller's pretrained buffers
             params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         state = create_train_state(params)
-        # Replicate state over the mesh (pure DP; param_sharding_rules can
-        # shard it for TP via parallel.mesh.shard_params).
-        from weathermodel_tpu.parallel.mesh import replicated_sharding
+        # Pure DP replicates the state; --fsdp shards params + optimizer
+        # moments over 'data' (ZeRO-3-style; parallel.mesh docstrings).
+        from weathermodel_tpu.parallel.mesh import (
+            ensure_on_mesh,
+            replicated_sharding,
+            shard_params_fsdp,
+        )
 
-        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+        state_shardings = None
+        if fsdp:
+            # re-create the state from FSDP-sharded params so the adam
+            # moments (zeros_like) inherit the shards
+            sharded = shard_params_fsdp(state.params, self.mesh)
+            state = ensure_on_mesh(create_train_state(sharded), self.mesh)
+            state_shardings = jax.tree.map(lambda l: l.sharding, state)
+            self.state = state
+        else:
+            self.state = jax.device_put(state,
+                                        replicated_sharding(self.mesh))
 
         tx = make_optimizer()
         self._train_step = compile_step(
@@ -102,6 +117,7 @@ class PretrainTrainer:
                 tx=tx,
             ),
             self.mesh, donate_state=True,
+            state_shardings=state_shardings,
         )
         self._eval_step = compile_step(
             make_eval_step(
