@@ -176,3 +176,19 @@ def test_pretrained_encoder_transfer_into_yield(df):
     )
     want = np.asarray(enc_params["params"]["core"]["in_proj"]["kernel"])
     np.testing.assert_array_equal(got, want)
+
+
+def test_single_test_year_mode(df):
+    # reference --test-year semantics: exactly one fold pinned to the year
+    tcfg = TrainConfig(batch_size=32, num_epochs=2, init_lr=1e-3,
+                       num_warmup_epochs=1, decay_factor=None, beta=0.0)
+    cv = YieldCrossValidator(
+        make_model=lambda: WeatherBERTYieldModel(MCFG, n_past_years=N_PAST),
+        model_cfg=MCFG, train_cfg=tcfg, objective="mse", crop_df=df,
+        country="usa", crop_type="soybean", n_train_years=12,
+        n_past_years=N_PAST, test_type="overall", k_folds=5,
+        test_year=2013,
+    )
+    results = cv.run()
+    assert results["n_folds"] == 1
+    assert np.isfinite(results["avg_rmse_bu_acre"])

@@ -41,7 +41,7 @@ def _run_gnnrnn_cv(args, crop_df, country: str) -> dict:
         country=country, crop_type=args.crop_type,
         n_train_years=args.n_train_years, n_past_years=args.n_past_years,
         test_type=args.test_type, k_folds=args.cross_validation_k,
-        workdir=args.workdir,
+        workdir=args.workdir, test_year=args.test_year,
     )
     return cv.run()
 
@@ -99,6 +99,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--country", default="usa")
     p.add_argument("--test-type", default="overall",
                    choices=("overall", "extreme", "ahead_pred"))
+    p.add_argument("--test-year", default=None, type=int,
+                   help="pin a single test year (one fold) instead of the "
+                        "test-type fold table (reference yield_main.py)")
     p.add_argument("--cross-validation-k", default=5, type=int)
     p.add_argument("--use-optimal-lr", action="store_true")
     p.add_argument("--data-dir", default=None)
@@ -200,7 +203,7 @@ def run(args) -> dict:
         n_past_years=args.n_past_years, test_type=args.test_type,
         k_folds=args.cross_validation_k,
         pretrained_encoder_params=pretrained,
-        workdir=args.workdir,
+        workdir=args.workdir, test_year=args.test_year,
     )
     results = cv.run()
     logger.info(

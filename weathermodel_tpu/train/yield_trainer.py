@@ -398,6 +398,7 @@ class YieldCrossValidator:
         k_folds: int = 5,
         pretrained_encoder_params=None,
         workdir: Optional[str] = None,
+        test_year: Optional[int] = None,
     ):
         self.make_model = make_model
         self.model_cfg = model_cfg
@@ -412,6 +413,10 @@ class YieldCrossValidator:
         self.k_folds = k_folds
         self.pretrained_encoder_params = pretrained_encoder_params
         self.workdir = workdir
+        # Single-test-year mode (reference --test-year,
+        # weatherbert_yield_trainer.py:129-133): pin one fold to `test_year`
+        # instead of the test_type fold->year table.
+        self.test_year = test_year
 
     def _fold_trainer(self, test_year: int, fold_dir: Optional[str]):
         """Build (trainer, stats) for one fold. Overridden by the GNN-RNN
@@ -432,9 +437,14 @@ class YieldCrossValidator:
         return trainer, stats
 
     def run(self) -> Dict[str, Any]:
-        years = select_test_years(self.test_type, self.country, self.crop_type)
+        if self.test_year is not None:
+            years, n_folds = (self.test_year,), 1
+        else:
+            years = select_test_years(self.test_type, self.country,
+                                      self.crop_type)
+            n_folds = self.k_folds
         fold_results: List[YieldFoldResult] = []
-        for fold in range(self.k_folds):
+        for fold in range(n_folds):
             test_year = years[fold % len(years)]
             t0 = time.time()
             fold_dir = (f"{self.workdir}/fold_{fold}_year_{test_year}"
@@ -448,7 +458,7 @@ class YieldCrossValidator:
             logger.info(
                 "Fold [%d/%d] test_year=%d best val RMSE (norm) %.4f "
                 "=> %.2f bu/acre, R^2 %.3f (%.1fs)",
-                fold + 1, self.k_folds, test_year, best,
+                fold + 1, n_folds, test_year, best,
                 fold_results[-1].rmse_bu_acre, fold_results[-1].r_squared,
                 time.time() - t0,
             )
