@@ -144,3 +144,15 @@ def test_key_padding_mask_blocks_attention():
     np.testing.assert_allclose(
         np.asarray(out1[:, : T // 2]), np.asarray(out2[:, : T // 2]), atol=1e-5
     )
+
+
+def test_seq_len_over_max_len_raises_cleanly():
+    import pytest
+
+    model = WeatherBERT(CFG)
+    weather = jnp.zeros((1, T + 4, CFG.weather_dim))
+    with pytest.raises(ValueError, match="max_len"):
+        model.init(jax.random.PRNGKey(0), weather,
+                   jnp.zeros((1, 2)), jnp.zeros((1, T + 4)),
+                   jnp.zeros((1, 1)), jnp.zeros((1, T + 4, CFG.weather_dim),
+                                                bool))

@@ -73,3 +73,45 @@ def test_load_from_orbax(tmp_path):
                          jnp.asarray(y), jnp.asarray(i),
                          jnp.zeros(w.shape, bool))
     np.testing.assert_allclose(out, np.asarray(direct), atol=1e-6)
+
+
+def test_serve_cli_roundtrip(tmp_path):
+    # end-to-end: save params -> wm-serve over an npz -> predictions npz
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    import jax
+    from weathermodel_tpu.cli.serve import build_parser, run
+    from weathermodel_tpu.models import WeatherBERT
+    from weathermodel_tpu.utils.config import model_config_for_size
+
+    t, f = 16, 31
+    cfg = model_config_for_size("mini", max_len=t)
+    model = WeatherBERT(cfg)
+    rng = np.random.default_rng(0)
+    weather = rng.normal(size=(5, t, f)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), weather[:1],
+                        np.zeros((1, 2), np.float32),
+                        np.full((1, t), 1990.0, np.float32),
+                        np.full((1, 1), 7.0, np.float32),
+                        np.zeros((1, t, f), bool))
+    import os
+
+    ckpt = os.path.abspath(str(tmp_path / "params"))
+    ck = ocp.StandardCheckpointer()
+    ck.save(ckpt, params)
+    ck.wait_until_finished()
+
+    inp = str(tmp_path / "in.npz")
+    np.savez(inp, weather=weather)
+    outp = str(tmp_path / "out.npz")
+    args = build_parser().parse_args([
+        "--checkpoint", ckpt, "--model", "weatherbert",
+        "--model-size", "mini", "--input", inp, "--output", outp,
+        "--attention-impl", "xla",
+    ])
+    result = run(args)
+    assert result["n"] == 5
+    with np.load(outp) as z:
+        assert z["output"].shape == (5, t, cfg.output_dim)
+        assert np.isfinite(z["output"]).all()

@@ -53,6 +53,12 @@ class WeatherEncoderCore(nn.Module):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         b, t, _ = weather.shape
+        if t > cfg.max_len:
+            raise ValueError(
+                f"sequence length {t} exceeds max_len={cfg.max_len}; "
+                f"build the model with max_len>={t} "
+                "(model_config_for_size(..., max_len=...))"
+            )
 
         year, interval, coords = normalize_year_interval_coords(
             year, interval, coords
