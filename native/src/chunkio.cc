@@ -271,18 +271,23 @@ class Prefetcher {
     cv_.notify_one();
   }
 
-  // blocks until `path` is loaded (loads synchronously if never enqueued)
+  // blocks until `path` is loaded (loads synchronously if never enqueued;
+  // re-loads if a concurrent evict won the race after a worker finished)
   std::shared_ptr<Archive> get(const std::string& path) {
     std::unique_lock<std::mutex> lk(mu_);
-    if (!cache_.count(path) && !pending_.count(path)) {
-      lk.unlock();
-      auto a = load_archive(path);
-      lk.lock();
-      cache_[path] = a;
+    for (;;) {
+      auto it = cache_.find(path);
+      if (it != cache_.end()) return it->second;
+      if (!pending_.count(path)) {
+        lk.unlock();
+        auto a = load_archive(path);
+        lk.lock();
+        cache_[path] = a;
+        done_cv_.notify_all();
+        return a;
+      }
+      done_cv_.wait(lk);
     }
-    done_cv_.wait(lk, [&] { return cache_.count(path) > 0; });
-    auto a = cache_[path];
-    return a;
   }
 
   void evict(const std::string& path) {
@@ -321,7 +326,9 @@ class Prefetcher {
 };
 
 std::mutex g_mu;
-std::map<std::string, std::shared_ptr<Archive>> g_open;  // handle table
+// handle table with open-refcounts: concurrent readers of the same path
+// each wm_open/wm_close; the archive is dropped at refcount zero only.
+std::map<std::string, std::pair<std::shared_ptr<Archive>, int>> g_open;
 Prefetcher* g_prefetcher = nullptr;
 
 Prefetcher* prefetcher() {
@@ -345,7 +352,9 @@ int wm_open(const char* path) {
     return 1;
   }
   std::lock_guard<std::mutex> g(g_mu);
-  g_open[path] = a;
+  auto& slot = g_open[path];
+  slot.first = a;
+  slot.second += 1;
   return 0;
 }
 
@@ -354,7 +363,7 @@ int wm_num_arrays(const char* path) {
   std::lock_guard<std::mutex> g(g_mu);
   auto it = g_open.find(path);
   if (it == g_open.end()) return -1;
-  return (int)it->second->arrays.size();
+  return (int)it->second.first->arrays.size();
 }
 
 // Query an array: writes dtype (<=15 chars), ndim, shape (<=8 dims),
@@ -367,8 +376,8 @@ int wm_array_info(const char* path, const char* name, char* dtype_out,
     g_last_error = "archive not open";
     return 1;
   }
-  auto jt = it->second->arrays.find(name);
-  if (jt == it->second->arrays.end()) {
+  auto jt = it->second.first->arrays.find(name);
+  if (jt == it->second.first->arrays.end()) {
     g_last_error = std::string("no such array: ") + name;
     return 1;
   }
@@ -391,7 +400,7 @@ int wm_array_read(const char* path, const char* name, void* out) {
       g_last_error = "archive not open";
       return 1;
     }
-    a = it->second;
+    a = it->second.first;
   }
   auto jt = a->arrays.find(name);
   if (jt == a->arrays.end()) {
@@ -403,11 +412,19 @@ int wm_array_read(const char* path, const char* name, void* out) {
   return 0;
 }
 
-// Close + evict from cache.
+// Close one open-reference; drop + evict at refcount zero.
 void wm_close(const char* path) {
-  prefetcher()->evict(path);
-  std::lock_guard<std::mutex> g(g_mu);
-  g_open.erase(path);
+  bool drop = false;
+  {
+    std::lock_guard<std::mutex> g(g_mu);
+    auto it = g_open.find(path);
+    if (it == g_open.end()) return;
+    if (--it->second.second <= 0) {
+      g_open.erase(it);
+      drop = true;
+    }
+  }
+  if (drop) prefetcher()->evict(path);
 }
 
 // Hint: start loading `path` on a background thread.

@@ -92,3 +92,35 @@ def test_pretrain_batches_on_native_store(tmp_path):
     for b in batches:
         assert b.weather.shape == (8, 52, 31)
         assert np.isfinite(b.weather).all()
+
+
+@needs_native
+def test_corrupt_archive_returns_none(tmp_path):
+    # truncated/garbage files must fail soft (None -> numpy fallback path)
+    p = str(tmp_path / "garbage.npz")
+    with open(p, "wb") as f:
+        f.write(b"PK\x03\x04 this is not a real zip archive")
+    assert native_io.load_npz(p, ("weather",)) is None
+    p2 = str(tmp_path / "trunc.npz")
+    src, _ = _write(tmp_path, cid=9)
+    data = open(src, "rb").read()
+    with open(p2, "wb") as f:
+        f.write(data[: len(data) // 2])
+    assert native_io.load_npz(p2, ("weather",)) is None
+
+
+@needs_native
+def test_concurrent_loads_are_safe(tmp_path):
+    import concurrent.futures
+
+    paths = [_write(tmp_path, cid=c, n=8)[0] for c in range(6)]
+    for p in paths:
+        native_io.prefetch(p)
+
+    def load(p):
+        arrs = native_io.load_npz(p, ("weather", "coords", "index"))
+        return arrs is not None and arrs["weather"].shape[0] == 8
+
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(load, paths * 4))
+    assert all(results)
