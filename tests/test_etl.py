@@ -166,3 +166,24 @@ def test_standardize_wide_csv_weekly(tmp_path):
     np.testing.assert_array_equal(out2["T2M_1"].to_numpy(),
                                   df.sort_values(["lat", "lng", "Year"])
                                   ["T2M_1"].to_numpy())
+
+
+def test_select_cropnet_files_state_filter():
+    from weathermodel_tpu.data.etl import select_cropnet_files
+
+    files = [
+        "USDA Crop Dataset/Corn/2020.csv",
+        "USDA Crop Dataset/Soybeans/2020.csv",
+        "WRF-HRRR Computed Dataset/data/2020/IA/jan.csv",
+        "WRF-HRRR Computed Dataset/data/2020/TX/jan.csv",
+        "WRF-HRRR Computed Dataset/data/2020/MS/feb.csv",
+        "unrelated/readme.md",
+    ]
+    picked = select_cropnet_files(files)
+    # all USDA files; WRF-HRRR only for target states; nothing else
+    assert "USDA Crop Dataset/Corn/2020.csv" in picked
+    assert "USDA Crop Dataset/Soybeans/2020.csv" in picked
+    assert "WRF-HRRR Computed Dataset/data/2020/IA/jan.csv" in picked
+    assert "WRF-HRRR Computed Dataset/data/2020/MS/feb.csv" in picked
+    assert "WRF-HRRR Computed Dataset/data/2020/TX/jan.csv" not in picked
+    assert "unrelated/readme.md" not in picked

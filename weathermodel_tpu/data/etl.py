@@ -337,6 +337,58 @@ def scrape_nasa_power_region(lat_min, lat_max, lon_min, lon_max,
         ) from e
 
 
+CROPNET_REPO = "CropNet/CropNet"
+CROPNET_FOLDERS = ("USDA Crop Dataset/", "WRF-HRRR Computed Dataset/data/")
+CROPNET_STATES = ("MS", "LA", "IA", "IL")
+
+
+def select_cropnet_files(all_files, states=CROPNET_STATES,
+                         folders=CROPNET_FOLDERS):
+    """Selective-download filter (reference fudong_cropnet_downloader.py:
+    6-63): ALL files under the USDA folder; WRF-HRRR files only for the
+    target states (path contains `/{state}/`). Pure function — offline
+    tested."""
+    out = []
+    for folder in folders:
+        folder_files = [f for f in all_files if f.startswith(folder)]
+        if "WRF-HRRR" in folder:
+            folder_files = [
+                f for f in folder_files
+                if any(f"/{s}/" in f for s in states)
+            ]
+        out.extend(folder_files)
+    return out
+
+
+def download_cropnet(data_dir: str, states=CROPNET_STATES) -> dict:
+    """Selective HF CropNet download with skip-existing and per-file
+    failure tolerance (reference fudong_cropnet_downloader.py:24-101).
+    Requires network egress."""
+    try:
+        from huggingface_hub import hf_hub_download, list_repo_files
+    except ImportError as e:
+        raise RuntimeError("huggingface_hub not installed") from e
+    local_dir = os.path.join(data_dir, "CropNet")
+    os.makedirs(local_dir, exist_ok=True)
+    all_files = list_repo_files(repo_id=CROPNET_REPO, repo_type="dataset")
+    counts = {"downloaded": 0, "skipped": 0, "failed": 0}
+    for file in select_cropnet_files(all_files, states):
+        local_path = os.path.join(local_dir, file)
+        if os.path.exists(local_path) and os.path.getsize(local_path) > 0:
+            counts["skipped"] += 1
+            continue
+        try:
+            hf_hub_download(repo_id=CROPNET_REPO, repo_type="dataset",
+                            filename=file, local_dir=local_dir,
+                            force_download=True)
+            counts["downloaded"] += 1
+        except Exception as e:
+            logger.warning("failed to download %s: %s", file, e)
+            counts["failed"] += 1
+    logger.info("CropNet download: %s", counts)
+    return counts
+
+
 def download_reference_datasets(data_dir: str) -> None:
     """HF downloads of notadib/NASA-Power-Daily-Weather and CropNet
     (reference weather_data_downloader.py:1-8, fudong_cropnet_downloader.py).
@@ -350,3 +402,4 @@ def download_reference_datasets(data_dir: str) -> None:
         allow_patterns=["*weekly*.csv"],
         local_dir=os.path.join(data_dir, "nasa_power"),
     )
+    download_cropnet(data_dir)
