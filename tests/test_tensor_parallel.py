@@ -112,3 +112,10 @@ def test_remat_encoder_matches_plain():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    rtol=1e-4)
+
+
+def test_multihost_initialize_single_host_identity():
+    from weathermodel_tpu.parallel.multihost import initialize
+
+    info = initialize()
+    assert info.num_hosts == 1 and info.host_id == 0 and info.is_primary
