@@ -119,6 +119,10 @@ bool parse_zip(const std::vector<char>& b, std::vector<Entry>* entries,
     uint16_t xlen = rd16(&b[p + 30]);
     uint16_t clen = rd16(&b[p + 32]);
     uint32_t lho = rd32(&b[p + 42]);
+    if (p + 46 + (size_t)nlen > b.size()) {
+      *err = "truncated central directory entry";
+      return false;
+    }
     std::string name(&b[p + 46], nlen);
     if (method != 0) {
       *err = "compressed entry (method != stored): " + name;
@@ -129,7 +133,7 @@ bool parse_zip(const std::vector<char>& b, std::vector<Entry>* entries,
       return false;
     }
     // local header: 30 bytes + name + extra (extra may differ from CD's)
-    if (lho + 30 > b.size() || rd32(&b[lho]) != 0x04034b50) {
+    if ((uint64_t)lho + 30 > b.size() || rd32(&b[lho]) != 0x04034b50) {
       *err = "bad local header: " + name;
       return false;
     }
@@ -163,8 +167,16 @@ bool parse_npy(const std::vector<char>& b, const Entry& e, Npy* out,
     hlen = rd16(p + 8);
     hoff = 10;
   } else {
+    if (e.size < 12) {
+      *err = "truncated npy v2 header: " + e.name;
+      return false;
+    }
     hlen = rd32(p + 8);
     hoff = 12;
+  }
+  if (hoff + hlen > e.size) {
+    *err = "npy header overruns entry: " + e.name;
+    return false;
   }
   std::string hdr(p + hoff, hlen);
   // parse "'descr': '<f4'", "'fortran_order': False", "'shape': (a, b,)"
@@ -221,7 +233,10 @@ bool parse_npy(const std::vector<char>& b, const Entry& e, Npy* out,
   }
   out->nbytes = elems * itemsize;
   out->data_offset = e.data_offset + hoff + hlen;
-  if (out->data_offset + out->nbytes > e.data_offset + e.size + 64) {
+  // strict: the declared array must fit entirely inside the ZIP entry
+  // (np.save pads the header, never the payload) — a short entry must
+  // error out to the numpy fallback, not read trailing archive bytes
+  if (out->data_offset + out->nbytes > e.data_offset + e.size) {
     *err = "npy payload overrun: " + e.name;
     return false;
   }
@@ -348,6 +363,10 @@ extern "C" {
 int wm_open(const char* path) {
   auto a = prefetcher()->get(path);
   if (!a->ok) {
+    // do NOT negative-cache failures: drop the (possibly multi-MB) buffer
+    // and let a later open retry — the file may be mid-write or the
+    // caller will fall back to numpy (compressed archives)
+    prefetcher()->evict(path);
     g_last_error = a->error;
     return 1;
   }

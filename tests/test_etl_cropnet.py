@@ -137,3 +137,14 @@ def test_ordered_columns_and_target_fips(tmp_path):
     w = [c for c in cols if c.startswith("temp_avg_")]
     assert w == [f"temp_avg_{k}" for k in range(1, 53)]
     assert ordered_columns(combined) == cols
+
+
+def test_usda_yields_drops_nan_ansi_rows():
+    corn = pd.DataFrame({
+        "State ANSI": [19, np.nan], "County ANSI": [1, 7],
+        "Year": [2020, 2020],
+        "YIELD, MEASURED IN BU / ACRE": [180.0, 150.0],
+    })
+    y = usda_to_yields({"Corn": corn})
+    # NaN-ANSI row dropped (reference create_fips_code returns NaN for it)
+    assert list(y["fips"]) == [19001]

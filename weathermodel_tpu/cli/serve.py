@@ -55,9 +55,14 @@ def run(args: argparse.Namespace) -> dict:
         mask = (np.asarray(z["mask"], bool) if "mask" in z
                 else np.zeros((n, t, f), bool))
 
+    from weathermodel_tpu.serve import DEFAULT_BUCKETS
+
+    # cap the padding buckets at --batch-size (memory-constrained chips)
+    buckets = tuple(b for b in DEFAULT_BUCKETS if b < args.batch_size)
+    buckets = buckets + (args.batch_size,)
     predictor = load_weather_predictor(
         args.checkpoint, model_size=args.model_size, model_name=args.model,
-        attention_impl=args.attention_impl, max_len=t,
+        attention_impl=args.attention_impl, max_len=t, buckets=buckets,
     )
     outputs = predictor(weather, coords, year, interval,
                         weather_feature_mask=mask)

@@ -47,7 +47,12 @@ CROP_YIELD_UNITS = {
 
 
 def create_fips_code(state_ansi, county_ansi):
-    """state*1000 + county, NaN-tolerant (reference :434-439)."""
+    """state*1000 + county, NaN-tolerant (reference :434-439). Series
+    inputs keep their index (safe to assign back onto the frame)."""
+    if isinstance(state_ansi, pd.Series):
+        s = pd.to_numeric(state_ansi, errors="coerce")
+        c = pd.to_numeric(county_ansi, errors="coerce")
+        return s * 1000 + c
     s = pd.to_numeric(pd.Series(np.atleast_1d(state_ansi)), errors="coerce")
     c = pd.to_numeric(pd.Series(np.atleast_1d(county_ansi)), errors="coerce")
     out = s * 1000 + c
@@ -120,8 +125,11 @@ def usda_to_yields(crop_frames: Dict[str, pd.DataFrame]) -> pd.DataFrame:
         ycol_in = CROP_YIELD_UNITS[crop]
         d = df.copy()
         if "fips" not in d.columns:
-            d["fips"] = (d["State ANSI"].astype(int) * 1000
-                         + d["County ANSI"].astype(int))
+            # NaN-tolerant (reference :434-439 returns NaN for missing
+            # ANSI codes; those rows are dropped below)
+            d["fips"] = create_fips_code(d["State ANSI"], d["County ANSI"])
+        d = d.dropna(subset=["fips"])
+        d["fips"] = d["fips"].astype(int)
         ycol_out = f"{crop.lower().replace('winter', 'winter ')}_yield"
         d = d.rename(columns={"Year": "year"})
         d = d[["fips", "year", ycol_in]].rename(columns={ycol_in: ycol_out})

@@ -80,8 +80,13 @@ def paginate_window(get_page: Callable[[int], Optional[dict]],
         if data is None:
             break
         if total is None:
-            total = data["metadata"]["resultset"]["count"]
-        pages.append(data.get("results", []))
+            # the CDO API returns an empty object {} for windows with no
+            # matching records — treat as zero records, not an error
+            total = (data.get("metadata", {}).get("resultset", {})
+                     .get("count", 0))
+        results = data.get("results", [])
+        if results:
+            pages.append(results)
         offset += limit
     return pages
 
@@ -119,21 +124,45 @@ def fetch_data_for_state(state_id: str, start: datetime, end: datetime,
     return temp_files
 
 
-def _requests_get_page(params: Dict) -> Optional[dict]:
-    """Live API GET with the reference's retry policy (:48-58).
-    Network-gated: requires egress + NOAA_API_KEY."""
-    import requests
-    from requests.adapters import HTTPAdapter
-    from urllib3.util.retry import Retry
+_session = None
+_session_lock = None
 
-    session = requests.Session()
-    session.mount("https://", HTTPAdapter(max_retries=Retry(
-        total=3, backoff_factor=1,
-        status_forcelist=[429, 500, 502, 503, 504],
-        allowed_methods=["GET"],
-    )))
-    resp = session.get(API_URL, params=params, headers={
-        "token": os.environ.get("NOAA_API_KEY", "NOT_FOUND")})
+
+def _get_session():
+    """One pooled Session with the reference's retry policy (:48-58),
+    shared across the worker threads (requests.Session is thread-safe for
+    concurrent gets)."""
+    global _session, _session_lock
+    import threading
+
+    if _session_lock is None:
+        _session_lock = threading.Lock()
+    with _session_lock:
+        if _session is None:
+            import requests
+            from requests.adapters import HTTPAdapter
+            from urllib3.util.retry import Retry
+
+            s = requests.Session()
+            s.mount("https://", HTTPAdapter(max_retries=Retry(
+                total=3, backoff_factor=1,
+                status_forcelist=[429, 500, 502, 503, 504],
+                allowed_methods=["GET"],
+            ), pool_maxsize=16))
+            _session = s
+    return _session
+
+
+def _requests_get_page(params: Dict) -> Optional[dict]:
+    """Live API GET. Network-gated: requires egress + NOAA_API_KEY.
+    A hard timeout keeps a stalled connection from hanging a worker
+    (Retry alone never fires without one)."""
+    try:
+        resp = _get_session().get(API_URL, params=params, headers={
+            "token": os.environ.get("NOAA_API_KEY", "NOT_FOUND")},
+            timeout=60)
+    except Exception:
+        return None
     if resp is not None and resp.status_code == 200:
         return resp.json()
     return None

@@ -94,26 +94,36 @@ def param_sharding_rules(path_tuple, shape, mesh: Mesh) -> P:
     return P()
 
 
+# Params smaller than this stay replicated under FSDP: sharding LayerNorm
+# scales/biases buys nothing and costs gather latency.
+FSDP_MIN_ELEMS = 2 ** 14
+
+
+def _fill_data_axis(spec, shape, mesh: Mesh, min_elems: int) -> P:
+    """Shard the largest still-unsharded divisible axis over 'data'
+    (shared by the pure-FSDP and TP+FSDP rules)."""
+    orig = P(*spec)
+    n = mesh.shape[DATA_AXIS]
+    if n == 1 or int(np.prod(shape)) < min_elems:
+        return orig
+    full = list(spec) + [None] * (len(shape) - len(spec))
+    for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if full[i] is None and shape[i] % n == 0:
+            full[i] = DATA_AXIS
+            return P(*full)
+    return orig  # no divisible axis: unchanged (canonical spec)
+
+
 def fsdp_sharding_rules(path_tuple, shape, mesh: Mesh,
-                        min_elems: int = 2 ** 14) -> P:
+                        min_elems: int = FSDP_MIN_ELEMS) -> P:
     """Fully-sharded-data-parallel (ZeRO-3-style) layout: every large
     parameter is sharded along its largest divisible axis over 'data'.
     Under jit, XLA all-gathers a param just-in-time for its op and
     reduce-scatters its gradient — parameter + optimizer memory per chip
     drops by the data-axis size, at the cost of gather traffic over ICI.
     The reference has no equivalent (DDP replicates, SURVEY.md §2.11);
-    this is scale-out capability beyond parity. Small tensors (LayerNorm,
-    biases, < min_elems) stay replicated — sharding them buys nothing and
-    costs latency."""
-    n = mesh.shape[DATA_AXIS]
-    if n == 1 or int(np.prod(shape)) < min_elems:
-        return P()
-    for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
-        if shape[i] % n == 0:
-            spec = [None] * len(shape)
-            spec[i] = DATA_AXIS
-            return P(*spec)
-    return P()
+    this is scale-out capability beyond parity."""
+    return _fill_data_axis((), shape, mesh, min_elems)
 
 
 def combined_sharding_rules(path_tuple, shape, mesh: Mesh,
@@ -124,31 +134,25 @@ def combined_sharding_rules(path_tuple, shape, mesh: Mesh,
     tp = param_sharding_rules(path_tuple, shape, mesh)
     if not fsdp:
         return tp
-    n = mesh.shape[DATA_AXIS]
-    if n == 1 or int(np.prod(shape)) < 2 ** 14:
-        return tp
-    spec = list(tp) + [None] * (len(shape) - len(tp))
-    for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
-        if spec[i] is None and shape[i] % n == 0:
-            spec[i] = DATA_AXIS
-            return P(*spec)
-    return tp
+    return _fill_data_axis(tuple(tp), shape, mesh, FSDP_MIN_ELEMS)
 
 
-def shard_params(params, mesh: Mesh, fsdp: bool = False):
-    """Apply the TP (and optionally FSDP) layout over a param pytree."""
+def shard_params(params, mesh: Mesh, fsdp: bool = False, rules=None):
+    """Apply a sharding-rules layout over a param pytree. Default rules:
+    TP (+FSDP fill when fsdp=True); pass `rules(path, shape, mesh)` to
+    override."""
+    if rules is None:
+        def rules(path, shape, mesh):
+            return combined_sharding_rules(path, shape, mesh, fsdp=fsdp)
 
-    def spec_for(path, leaf):
+    def place(path, leaf):
         keys = tuple(
             getattr(k, "key", getattr(k, "idx", str(k))) for k in path
         )
-        return NamedSharding(
-            mesh, combined_sharding_rules(keys, leaf.shape, mesh, fsdp=fsdp)
-        )
+        sharding = NamedSharding(mesh, rules(keys, leaf.shape, mesh))
+        return jax.device_put(leaf, sharding)
 
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: jax.device_put(leaf, spec_for(path, leaf)), params
-    )
+    return jax.tree_util.tree_map_with_path(place, params)
 
 
 def ensure_on_mesh(tree, mesh: Mesh):
@@ -169,14 +173,4 @@ def ensure_on_mesh(tree, mesh: Mesh):
 
 def shard_params_fsdp(params, mesh: Mesh):
     """Pure-FSDP layout (no TP): shard every large param over 'data'."""
-
-    def spec_for(path, leaf):
-        keys = tuple(
-            getattr(k, "key", getattr(k, "idx", str(k))) for k in path
-        )
-        return NamedSharding(mesh,
-                             fsdp_sharding_rules(keys, leaf.shape, mesh))
-
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: jax.device_put(leaf, spec_for(path, leaf)), params
-    )
+    return shard_params(params, mesh, rules=fsdp_sharding_rules)

@@ -50,12 +50,22 @@ def initialize(coordinator_address: str = None) -> HostInfo:
     on_pod = coordinator is not None or os.environ.get(
         "TPU_WORKER_HOSTNAMES") is not None
     if on_pod:
+        if coordinator:
+            n = os.environ.get("JAX_NUM_PROCESSES")
+            pid = os.environ.get("JAX_PROCESS_ID")
+            if n is None or pid is None:
+                raise RuntimeError(
+                    "multihost: a coordinator address was given but "
+                    "JAX_NUM_PROCESSES / JAX_PROCESS_ID are not set — "
+                    "export both on every host (or rely on Cloud TPU "
+                    "autodetection by leaving the coordinator unset)"
+                )
         try:
             if coordinator:
                 jax.distributed.initialize(
                     coordinator_address=coordinator,
-                    num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-                    process_id=int(os.environ["JAX_PROCESS_ID"]),
+                    num_processes=int(n),
+                    process_id=int(pid),
                 )
             else:
                 jax.distributed.initialize()  # Cloud TPU autodetection
