@@ -125,18 +125,17 @@ class LayerNormParams(nn.Module):
         return s, b
 
 
-def _dropout(module, x, rate, deterministic, impl):
-    """Dropout dispatch. Default is ops/dropout.py's bits_dropout — pure
-    XLA with 16-bit random words and a backward that REGENERATES the mask
-    from the key instead of storing a bool residual (see its docstring for
-    the measured motivation). Every Pallas alternative measured SLOWER
-    in-step at WeatherBERT-large (BASELINE.md round-2 table) — a full
-    dropout kernel serializes the data path (237->369 ms), and even an
-    input-free keep-mask generator kernel (hardware PRNG, ~40x cheaper per
-    draw) loses to XLA's fused mask (237->250 ms) because the mask bytes +
-    lost fusion outweigh the bits. In-kernel PRNG dropout only pays inside
-    compute-heavy kernels (attention). `ops.dropout.set_impl("nn")`
-    restores flax nn.Dropout (ablation)."""
+def _dropout(module, x, rate, deterministic):
+    """Dropout dispatch — ops/dropout.py selects the impl (default bits8:
+    8-bit random words with a dithered exact-rate threshold + custom_vjp
+    mask recompute; measured-best at WeatherBERT-large, BASELINE.md
+    round-2b table). Every Pallas alternative measured SLOWER in-step —
+    a full dropout kernel serializes the data path (237->369 ms), and
+    hardware-PRNG mask-generator kernels lose to XLA's fused RNG because
+    pallas_call boundaries serialize the schedule (ops/pallas_maskgen.py).
+    In-kernel PRNG dropout only pays inside compute-heavy kernels
+    (attention). `ops.dropout.set_impl("nn")` restores flax nn.Dropout
+    (ablation)."""
     if deterministic or rate <= 0.0:
         return x
     from weathermodel_tpu.ops import dropout as fast_dropout
@@ -171,8 +170,7 @@ class TransformerEncoderLayer(nn.Module):
             self.hidden_dim, self.num_heads, self.dropout_rate,
             self.attention_impl, self.dtype, name="self_attn",
         )(x, key_padding_mask, deterministic)
-        attn = _dropout(self, attn, self.dropout_rate, deterministic,
-                        self.attention_impl)
+        attn = _dropout(self, attn, self.dropout_rate, deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x + attn)
 
         w1, b1 = DenseParams(self.ffn_dim, self.hidden_dim,
@@ -194,14 +192,12 @@ class TransformerEncoderLayer(nn.Module):
                 ln_s, ln_b, dropout_rate=drop, dropout_seed=seed,
             ).astype(self.dtype)
 
-        # XLA-matmul path (dropout still dispatches on attention_impl)
+        # XLA-matmul path
         ff = jnp.dot(x, w1.astype(self.dtype)) + b1.astype(self.dtype)
         ff = nn.relu(ff)
-        ff = _dropout(self, ff, self.dropout_rate, deterministic,
-                      self.attention_impl)
+        ff = _dropout(self, ff, self.dropout_rate, deterministic)
         ff = jnp.dot(ff, w2.astype(self.dtype)) + b2.astype(self.dtype)
-        ff = _dropout(self, ff, self.dropout_rate, deterministic,
-                      self.attention_impl)
+        ff = _dropout(self, ff, self.dropout_rate, deterministic)
         y = x + ff
         mu = jnp.mean(y, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
