@@ -28,8 +28,10 @@ from weathermodel_tpu.ops import (  # noqa: E402
     pallas_attention,
     pallas_dropout,
     pallas_ffn,
+    pallas_ffn2,
 )
 
 pallas_attention.set_interpret(True)
 pallas_dropout.set_interpret(True)
 pallas_ffn.set_interpret(True)
+pallas_ffn2.set_interpret(True)

@@ -117,3 +117,30 @@ def test_bits8_backward_matches_forward_mask():
     g = jax.grad(lambda x: jnp.sum(fd.bits8_dropout(x, key, 0.1)))(x)
     y = fd.bits8_dropout(x, key, 0.1)
     np.testing.assert_allclose(np.asarray(y), np.asarray(g * x), rtol=1e-6)
+
+
+def test_bits8_sign_gradient_matches_regenerated():
+    # away from exact zeros the sign-inferred bwd mask equals regeneration
+    key = jax.random.PRNGKey(9)
+    x = jax.random.normal(jax.random.PRNGKey(2), (128, 512)) + 3.0  # no 0s
+    g_sign = jax.grad(lambda x: jnp.sum(fd.bits8_sign_dropout(x, key, 0.1)))(x)
+    g_regen = jax.grad(lambda x: jnp.sum(fd.bits8_dropout(x, key, 0.1)))(x)
+    np.testing.assert_array_equal(np.asarray(g_sign), np.asarray(g_regen))
+    # fwd outputs identical
+    np.testing.assert_array_equal(
+        np.asarray(fd.bits8_sign_dropout(x, key, 0.1)),
+        np.asarray(fd.bits8_dropout(x, key, 0.1)))
+
+
+def test_bits8_sign_relu_composition_exact():
+    # through relu -> dropout, gradients agree EVERYWHERE (relu' kills the
+    # kept-zero ambiguity)
+    key = jax.random.PRNGKey(4)
+    z = jax.random.normal(jax.random.PRNGKey(3), (64, 256))  # ~half <= 0
+
+    def f(drop):
+        return lambda z: jnp.sum(drop(jax.nn.relu(z), key, 0.1))
+
+    g_sign = jax.grad(f(fd.bits8_sign_dropout))(z)
+    g_regen = jax.grad(f(fd.bits8_dropout))(z)
+    np.testing.assert_array_equal(np.asarray(g_sign), np.asarray(g_regen))

@@ -125,6 +125,13 @@ class LayerNormParams(nn.Module):
         return s, b
 
 
+def _dropout_seed(module):
+    """Scalar int32 seed for an in-kernel PRNG site, derived from the
+    module's dropout stream."""
+    return jax.random.key_data(
+        module.make_rng("dropout")).ravel()[-1].astype(jnp.int32)
+
+
 def _dropout(module, x, rate, deterministic):
     """Dropout dispatch — ops/dropout.py selects the impl (default bits8:
     8-bit random words with a dithered exact-rate threshold + custom_vjp
@@ -183,21 +190,32 @@ class TransformerEncoderLayer(nn.Module):
         if self.ffn_impl == "pallas":
             from weathermodel_tpu.ops.pallas_ffn import fused_ffn_ln
 
-            seed = None
-            if drop > 0.0:
-                seed = jax.random.key_data(
-                    self.make_rng("dropout")).ravel()[-1].astype(jnp.int32)
+            seed = _dropout_seed(self) if drop > 0.0 else None
             return fused_ffn_ln(
                 x, w1.astype(self.dtype), b1, w2.astype(self.dtype), b2,
                 ln_s, ln_b, dropout_rate=drop, dropout_seed=seed,
             ).astype(self.dtype)
 
-        # XLA-matmul path
-        ff = jnp.dot(x, w1.astype(self.dtype)) + b1.astype(self.dtype)
-        ff = nn.relu(ff)
-        ff = _dropout(self, ff, self.dropout_rate, deterministic)
-        ff = jnp.dot(ff, w2.astype(self.dtype)) + b2.astype(self.dtype)
-        ff = _dropout(self, ff, self.dropout_rate, deterministic)
+        if self.ffn_impl == "pallas2":
+            # fused FFN fwd kernel (both FFN dropout sites in-kernel),
+            # XLA backward via activation-sparsity masks (ops/pallas_ffn2)
+            from weathermodel_tpu.ops.pallas_ffn2 import fused_ffn
+
+            seed = (_dropout_seed(self) if drop > 0.0
+                    else jnp.zeros((), jnp.int32))
+            b, t, hd = x.shape
+            ff = fused_ffn(
+                x.reshape(b * t, hd), w1.astype(self.dtype), b1,
+                w2.astype(self.dtype), b2, seed, drop,
+            ).reshape(b, t, hd)
+        else:  # XLA-matmul path
+            ff = jnp.dot(x, w1.astype(self.dtype)) + b1.astype(self.dtype)
+            ff = nn.relu(ff)
+            ff = _dropout(self, ff, self.dropout_rate, deterministic)
+            ff = jnp.dot(ff, w2.astype(self.dtype)) + b2.astype(self.dtype)
+            ff = _dropout(self, ff, self.dropout_rate, deterministic)
+
+        # shared residual + post-LN tail (torch order, eps 1e-5)
         y = x + ff
         mu = jnp.mean(y, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)

@@ -49,7 +49,8 @@ _IMPLS = (
     "bits16",     # where-form, custom_vjp mask recompute
     "bits16_ad",  # where-form, standard AD (bool residual)
     "mul16",      # multiply-form (x * mask_scale), custom_vjp recompute
-    "bits8",      # 8-bit words (dithered threshold), custom_vjp
+    "bits8",      # 8-bit words (dithered threshold), custom_vjp regen
+    "bits8_sign", # bits8, bwd mask inferred from the fwd output's sign
     "nn",         # flax nn.Dropout
     "skip",       # XLA-side sites disabled (ablation: isolates kernel cost)
 )
@@ -156,6 +157,35 @@ bits8_dropout.defvjp(lambda x, key, rate: (_apply8(x, key, rate), key),
                      lambda rate, key, dy: (_apply8(dy, key, rate), None))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bits8_sign_dropout(x, key, rate):
+    """bits8 with the backward mask INFERRED from the forward output
+    (y != 0) instead of regenerating random bits — generation runs once
+    per site instead of twice, and the residual (y) is a tensor XLA
+    already materializes as the next op's input.
+
+    Exactness: dy/dx = mask*scale, and y != 0 <=> (kept AND x != 0). The
+    only deviation is kept-x==0 points (gradient 0 instead of dy*scale).
+    In this model every site is measure-zero there or exactly neutral:
+    the FFN-hidden site's input is relu(z) whose zeros get their gradient
+    killed by relu' anyway, and the attn-out / FFN-out sites are dense
+    affine outputs (P(x==0) = 0)."""
+    return _apply8(x, key, rate)
+
+
+def _sign_fwd(x, key, rate):
+    y = _apply8(x, key, rate)
+    return y, y
+
+
+def _sign_bwd(rate, y, dy):
+    scale = jnp.asarray(1.0 / (1.0 - rate), dy.dtype)
+    return jnp.where(y != 0, dy * scale, jnp.zeros((), dy.dtype)), None
+
+
+bits8_sign_dropout.defvjp(_sign_fwd, _sign_bwd)
+
+
 def dropout(x, key, rate: float):
     """Rate-0 / None-key tolerant convenience wrapper."""
     if rate <= 0.0 or key is None:
@@ -179,4 +209,6 @@ def dropout(x, key, rate: float):
         return mul_dropout(x, key, rate)
     if impl == "bits8":
         return bits8_dropout(x, key, rate)
+    if impl == "bits8_sign":
+        return bits8_sign_dropout(x, key, rate)
     return bits_dropout(x, key, rate)
