@@ -133,3 +133,24 @@ def test_gridsearch_sensitivity_tables_and_plot(tmp_path):
     plot_hyperparam_sensitivity({"weatherformer": df, "bert": df},
                                 out_path=p)
     assert os.path.getsize(p) > 0
+
+
+def test_plot_latent_pca_by_year(tmp_path):
+    from weathermodel_tpu.analysis.latents import plot_latent_pca_by_year
+
+    rng = np.random.default_rng(0)
+    # two year clusters separated along one latent direction + an outlier
+    lat = np.concatenate([
+        rng.normal(0, 1, (50, 8)), rng.normal(3, 1, (50, 8)),
+        np.full((2, 8), -40.0),  # extreme left outliers
+    ])
+    years = np.array([2014] * 50 + [2015] * 50 + [2014] * 2)
+    p = str(tmp_path / "z_by_year.png")
+    proj, ratio, keep = plot_latent_pca_by_year(
+        lat, years, years_to_plot=[2014, 2015], trim_percentile=5.0,
+        out_path=p)
+    assert os.path.getsize(p) > 0
+    assert proj.shape == (102, 2) and 0.99 >= ratio[0] > 0.3
+    # the notebook's 5th-percentile left trim removes the planted outliers
+    assert not keep[-2:].any()
+    assert keep.sum() >= 95

@@ -52,6 +52,44 @@ def pca_2d(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return xc @ vt[:2].T, ratio[:2]
 
 
+def plot_latent_pca_by_year(latents: np.ndarray, years: np.ndarray,
+                            years_to_plot=None, trim_percentile: float = 5.0,
+                            out_path: Optional[str] = None):
+    """Year-colored latent PCA scatter (reference z_plotter.py:246-356):
+    optional year-subset filter, then PCA, then the notebook's
+    left-outlier trim (drop points below the `trim_percentile`-th
+    percentile of PC1). Returns (projected, explained-variance ratio,
+    kept-mask over the filtered samples)."""
+    years = np.asarray(years)
+    if years_to_plot is not None:
+        sel = np.isin(years, np.asarray(years_to_plot))
+        latents, years = latents[sel], years[sel]
+    proj, ratio = pca_2d(latents)
+    keep = proj[:, 0] > np.percentile(proj[:, 0], trim_percentile)
+    proj_k, years_k = proj[keep], years[keep]
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return proj, ratio, keep
+    fig, ax = plt.subplots(figsize=(8, 6))
+    uniq = np.unique(years_k)
+    cmap = plt.get_cmap("tab10")
+    for i, yr in enumerate(uniq):
+        m = years_k == yr
+        ax.scatter(proj_k[m, 0], proj_k[m, 1], s=12,
+                   color=cmap(i % 10), label=str(int(yr)))
+    ax.set_xlabel(f"PC1 ({ratio[0]:.1%})")
+    ax.set_ylabel(f"PC2 ({ratio[1]:.1%})")
+    ax.legend(frameon=False, title="year")
+    if out_path:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return proj, ratio, keep
+
+
 def plot_latent_pca(latents: np.ndarray, yields: np.ndarray,
                     out_path: Optional[str] = None):
     """Scatter of the 2-D PCA colored by yield (z_plotter analog)."""
