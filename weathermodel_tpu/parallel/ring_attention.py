@@ -1,0 +1,112 @@
+"""Ring attention — sequence-parallel exact attention over a mesh axis.
+
+Scale-out capability beyond the reference (SURVEY.md §5.7: the reference
+has no sequence parallelism; its T=365 fits one device). For sequences
+too long for one chip's HBM/VMEM, the sequence axis is sharded over the
+mesh: each device holds a [B, T/n, H] slice of q/k/v, and k/v blocks
+rotate around the ring via `jax.lax.ppermute` (ICI neighbor exchange)
+while a streaming log-sum-exp softmax accumulates exact attention — the
+blockwise/flash recurrence distributed over devices instead of over a
+kernel grid:
+
+    for step in range(n):                 # k/v block arrives from ring
+        s   = q @ k_blk^T * scale
+        m'  = max(m, rowmax(s))
+        acc = acc * exp(m - m') + exp(s - m') @ v_blk
+        l   = l * exp(m - m') + rowsum(exp(s - m'))
+        m   = m'
+    out = acc / l
+
+Exactness: identical to softmax(q k^T) v up to float reassociation
+(tested == full attention on an 8-device CPU mesh). Causal masking is not
+needed for this model family (bidirectional encoder).
+
+Usage: `ring_attention(q, k, v, axis_name)` inside `shard_map` with the
+sequence dim sharded over `axis_name`; see tests/test_ring_attention.py
+for the mesh/spec wiring.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _block_update(q, k_blk, v_blk, acc, l, m, scale):
+    s = jax.lax.dot_general(
+        q, k_blk, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale                                        # [B, Tq, Tk]
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1))      # [B, Tq]
+    corr = jnp.exp(m - m_new)
+    p = jnp.exp(s - m_new[..., None])
+    acc = acc * corr[..., None] + jax.lax.dot_general(
+        p, v_blk.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    l = l * corr + jnp.sum(p, axis=-1)
+    return acc, l, m_new
+
+
+def ring_attention(q, k, v, axis_name: str, num_heads: int = 1):
+    """Exact attention with q/k/v sequence-sharded over `axis_name`.
+
+    q/k/v: [B, T_local, H] per device (H = num_heads * head_dim; heads
+    are processed by folding them into the batch dim). Returns the local
+    [B, T_local, H] output slice. Must run inside shard_map/pmap with
+    `axis_name` defined.
+    """
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    b, t, h = q.shape
+    hd = h // num_heads
+    scale = 1.0 / (hd ** 0.5)
+
+    # heads -> batch: [B*nh, T, hd]
+    def split_heads(x):
+        return (x.reshape(b, t, num_heads, hd)
+                .transpose(0, 2, 1, 3)
+                .reshape(b * num_heads, t, hd))
+
+    qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
+
+    acc = jnp.zeros((b * num_heads, t, hd), jnp.float32)
+    l = jnp.zeros((b * num_heads, t), jnp.float32)
+    m = jnp.full((b * num_heads, t), -jnp.inf, jnp.float32)
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def body(i, carry):
+        acc, l, m, k_cur, v_cur = carry
+        acc, l, m = _block_update(qh, k_cur, v_cur, acc, l, m, scale)
+        # rotate k/v to the next device; after n steps every q block has
+        # seen every k/v block exactly once
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        return acc, l, m, k_nxt, v_nxt
+
+    acc, l, m, _, _ = jax.lax.fori_loop(
+        0, n, body, (acc, l, m, kh, vh))
+    out = acc / l[..., None]
+
+    # batch -> heads
+    out = (out.reshape(b, num_heads, t, hd)
+           .transpose(0, 2, 1, 3)
+           .reshape(b, t, h))
+    return out.astype(q.dtype)
+
+
+def make_ring_attention(mesh, seq_axis: str, num_heads: int = 1):
+    """Wrap ring_attention in shard_map over `mesh` with the sequence dim
+    of q/k/v (axis 1) sharded over `seq_axis`; batch/hidden replicated."""
+    try:
+        from jax import shard_map  # jax >= 0.4.35 public API
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(None, seq_axis, None)
+    fn = functools.partial(ring_attention, axis_name=seq_axis,
+                           num_heads=num_heads)
+    return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_rep=False)
