@@ -99,14 +99,17 @@ def ring_attention(q, k, v, axis_name: str, num_heads: int = 1):
 def make_ring_attention(mesh, seq_axis: str, num_heads: int = 1):
     """Wrap ring_attention in shard_map over `mesh` with the sequence dim
     of q/k/v (axis 1) sharded over `seq_axis`; batch/hidden replicated."""
-    try:
-        from jax import shard_map  # jax >= 0.4.35 public API
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     spec = P(None, seq_axis, None)
     fn = functools.partial(ring_attention, axis_name=seq_axis,
                            num_heads=num_heads)
-    return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_rep=False)
+    try:
+        from jax import shard_map  # jax >= 0.7 public API (no check_rep)
+        return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec, check_vma=False)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map as shard_map_exp
+
+        return shard_map_exp(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                             out_specs=spec, check_rep=False)
