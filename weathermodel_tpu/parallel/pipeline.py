@@ -1,0 +1,105 @@
+"""Pipeline parallelism — layers staged over a mesh axis (GPipe-style).
+
+Scale-out capability beyond the reference (SURVEY.md §2.11 lists PP as
+not-required: the reference's 56M models fit one chip). For models whose
+LAYERS don't fit one device, the stack is staged over the mesh 'model'
+axis: device s holds layer-group s's params, microbatches stream through
+the ring (`jax.lax.ppermute` neighbor pushes over ICI), and stage s
+computes microbatch m at tick t = s + m — the classic pipeline schedule,
+expressed as a `jax.lax.scan` inside `shard_map` so XLA sees one compact
+program. Bubble fraction = (S-1)/(M+S-1) as usual; gradients flow through
+ppermute/scan, so `jax.grad` of a pipelined forward just works.
+
+The stage function is arbitrary jax code `stage_fn(stage_params, x)`;
+`stack_stage_params` builds the [S, ...] param pytree sharded over the
+axis. Correctness: pipelined forward == sequential layer stack, and grads
+match, on the 8-virtual-device CPU mesh (tests/test_pipeline.py).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def stack_stage_params(per_stage_params, mesh, axis: str):
+    """[params_0, ..., params_{S-1}] -> one pytree with a leading stage
+    axis, sharded over `axis` (device s holds stage s's slice)."""
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_stage_params)
+    return jax.tree.map(
+        lambda l: jax.device_put(
+            l, NamedSharding(mesh, P(axis, *([None] * (l.ndim - 1))))),
+        stacked,
+    )
+
+
+def _pipeline_local(stage_params, micro, axis, stage_fn, n_micro):
+    """Runs on ONE device inside shard_map. stage_params: this stage's
+    params (leading axis 1); micro: [n_micro_local...] microbatches — only
+    stage 0's slice is real input (others ignored)."""
+    s = jax.lax.axis_index(axis)
+    n_stages = jax.lax.psum(1, axis)
+    params = jax.tree.map(lambda l: l[0], stage_params)
+    # micro arrives sequence-split over stages? No: replicated input; each
+    # tick t stage 0 injects microbatch t.
+    mb_shape = micro.shape[1:]
+
+    def tick(carry, t):
+        buf, outs = carry
+        # stage 0 picks up microbatch t (or zeros once drained)
+        inject = jnp.where(t < n_micro, 1, 0)
+        mb_t = jax.lax.dynamic_index_in_dim(
+            micro, jnp.minimum(t, n_micro - 1), axis=0, keepdims=False)
+        x_in = jnp.where((s == 0) & (inject == 1), mb_t, buf)
+        y = stage_fn(params, x_in)
+        # push my output to the next stage; the last stage's output is
+        # collected below (its push wraps to stage 0 and is overwritten)
+        n = n_stages
+        buf_next = jax.lax.ppermute(
+            y, axis, [(i, (i + 1) % n) for i in range(n)])
+        # the LAST stage emitted microbatch (t - (n_stages-1)) at tick t
+        emit_idx = t - (n_stages - 1)
+        valid = (emit_idx >= 0) & (emit_idx < n_micro)
+        # gather the last stage's y on every device (cheap for tests;
+        # production would reduce-scatter) via psum of a one-hot carrier
+        y_last = jax.lax.psum(
+            jnp.where(s == n_stages - 1, y, jnp.zeros_like(y)), axis)
+        outs = jax.lax.cond(
+            valid,
+            lambda o: jax.lax.dynamic_update_index_in_dim(
+                o, y_last, jnp.maximum(emit_idx, 0), axis=0),
+            lambda o: o,
+            outs,
+        )
+        return (buf_next, outs), None
+
+    n_ticks = n_micro + (n_stages - 1)
+    buf0 = jnp.zeros(mb_shape, micro.dtype)
+    outs0 = jnp.zeros_like(micro)
+    (_, outs), _ = jax.lax.scan(
+        tick, (buf0, outs0), jnp.arange(n_ticks))
+    return outs
+
+
+def make_pipeline(mesh, axis: str, stage_fn, n_micro: int):
+    """Returns pipelined(stacked_params, micro [n_micro, ...]) ->
+    [n_micro, ...] outputs, jittable. `stage_fn(params, x)` is one
+    stage's computation on one microbatch."""
+    try:
+        from jax import shard_map
+        kwargs = {"check_vma": False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        kwargs = {"check_rep": False}
+
+    fn = functools.partial(_pipeline_local, axis=axis, stage_fn=stage_fn,
+                           n_micro=n_micro)
+    # P(axis) as a pytree-prefix spec: every param leaf is stage-sharded
+    # on its leading axis; the microbatch input is replicated.
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=P(),
+        **kwargs,
+    )
