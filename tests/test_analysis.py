@@ -154,3 +154,40 @@ def test_plot_latent_pca_by_year(tmp_path):
     # the notebook's 5th-percentile left trim removes the planted outliers
     assert not keep[-2:].any()
     assert keep.sum() >= 95
+
+
+def test_latent_trim_is_sign_stable(tmp_path):
+    # outliers planted on the POSITIVE side must also be trimmed (the
+    # notebook's fixed left-tail trim depends on the arbitrary SVD sign)
+    from weathermodel_tpu.analysis.latents import plot_latent_pca_by_year
+
+    rng = np.random.default_rng(1)
+    lat = np.concatenate([rng.normal(0, 1, (100, 8)),
+                          np.full((2, 8), +40.0)])
+    years = np.array([2014] * 102)
+    _, _, keep = plot_latent_pca_by_year(lat, years, trim_percentile=5.0)
+    assert not keep[-2:].any()
+
+
+def test_latent_by_year_empty_selection_raises():
+    import pytest
+
+    from weathermodel_tpu.analysis.latents import plot_latent_pca_by_year
+
+    lat = np.random.default_rng(0).normal(size=(20, 4))
+    years = np.array([2014] * 20)
+    with pytest.raises(ValueError, match="matched no samples"):
+        plot_latent_pca_by_year(lat, years, years_to_plot=[1999])
+
+
+def test_pipeline_stage_count_mismatch_raises():
+    import jax
+    import pytest
+
+    from weathermodel_tpu.parallel.mesh import make_mesh
+    from weathermodel_tpu.parallel.pipeline import stack_stage_params
+
+    mesh = make_mesh(1, 8)
+    per_stage = [{"w": jnp.ones((4, 4))} for _ in range(16)]
+    with pytest.raises(ValueError, match="16 stages"):
+        stack_stage_params(per_stage, mesh, "model")

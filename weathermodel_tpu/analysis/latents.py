@@ -44,9 +44,16 @@ def extract_latents(model, params, arrays: YieldArrays, batch_size: int = 64,
 
 
 def pca_2d(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Plain-SVD PCA; returns (projected [N, 2], explained variance ratio)."""
+    """Plain-SVD PCA; returns (projected [N, 2], explained variance ratio).
+    Component signs are canonicalized (largest-|loading| entry positive,
+    sklearn svd_flip-style) so projections are reproducible — raw SVD
+    signs are data-dependent and arbitrary."""
     xc = x - x.mean(axis=0)
     u, s, vt = np.linalg.svd(xc, full_matrices=False)
+    signs = np.sign(vt[np.arange(vt.shape[0]),
+                       np.abs(vt).argmax(axis=1)])
+    signs[signs == 0] = 1.0
+    vt = vt * signs[:, None]
     var = (s ** 2) / max(len(x) - 1, 1)
     ratio = var / var.sum()
     return xc @ vt[:2].T, ratio[:2]
@@ -56,16 +63,29 @@ def plot_latent_pca_by_year(latents: np.ndarray, years: np.ndarray,
                             years_to_plot=None, trim_percentile: float = 5.0,
                             out_path: Optional[str] = None):
     """Year-colored latent PCA scatter (reference z_plotter.py:246-356):
-    optional year-subset filter, then PCA, then the notebook's
-    left-outlier trim (drop points below the `trim_percentile`-th
-    percentile of PC1). Returns (projected, explained-variance ratio,
-    kept-mask over the filtered samples)."""
+    optional year-subset filter, then PCA, then the notebook's PC1
+    outlier trim. ✚ robustified vs the notebook: it trims a fixed LEFT
+    tail, which silently depends on the arbitrary SVD sign of PC1 — here
+    the `trim_percentile` is applied to whichever PC1 tail holds the more
+    extreme values (by distance from the median), so the intended
+    "drop the extreme outliers" behavior is sign-stable. Returns
+    (projected, explained-variance ratio, kept-mask over the filtered
+    samples)."""
     years = np.asarray(years)
     if years_to_plot is not None:
         sel = np.isin(years, np.asarray(years_to_plot))
         latents, years = latents[sel], years[sel]
+        if len(years) == 0:
+            raise ValueError(
+                f"years_to_plot={list(years_to_plot)} matched no samples"
+            )
     proj, ratio = pca_2d(latents)
-    keep = proj[:, 0] > np.percentile(proj[:, 0], trim_percentile)
+    pc1 = proj[:, 0]
+    med = np.median(pc1)
+    if abs(pc1.min() - med) >= abs(pc1.max() - med):  # extremes on the left
+        keep = pc1 > np.percentile(pc1, trim_percentile)
+    else:
+        keep = pc1 < np.percentile(pc1, 100.0 - trim_percentile)
     proj_k, years_k = proj[keep], years[keep]
     try:
         import matplotlib

@@ -25,7 +25,15 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 def stack_stage_params(per_stage_params, mesh, axis: str):
     """[params_0, ..., params_{S-1}] -> one pytree with a leading stage
-    axis, sharded over `axis` (device s holds stage s's slice)."""
+    axis, sharded over `axis` (device s holds stage s's slice). The stage
+    count must equal the axis size — each device runs exactly one stage
+    (group layers into stages before stacking otherwise)."""
+    n = mesh.shape[axis]
+    if len(per_stage_params) != n:
+        raise ValueError(
+            f"{len(per_stage_params)} stages != mesh axis '{axis}' size "
+            f"{n}; group layers into exactly {n} stages"
+        )
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_stage_params)
     return jax.tree.map(
         lambda l: jax.device_put(
@@ -47,11 +55,11 @@ def _pipeline_local(stage_params, micro, axis, stage_fn, n_micro):
 
     def tick(carry, t):
         buf, outs = carry
-        # stage 0 picks up microbatch t (or zeros once drained)
-        inject = jnp.where(t < n_micro, 1, 0)
+        # stage 0 picks up microbatch t (or keeps the ring buffer once
+        # the input stream is drained)
         mb_t = jax.lax.dynamic_index_in_dim(
             micro, jnp.minimum(t, n_micro - 1), axis=0, keepdims=False)
-        x_in = jnp.where((s == 0) & (inject == 1), mb_t, buf)
+        x_in = jnp.where((s == 0) & (t < n_micro), mb_t, buf)
         y = stage_fn(params, x_in)
         # push my output to the next stage; the last stage's output is
         # collected below (its push wraps to stage 0 and is overwritten)
@@ -86,20 +94,14 @@ def make_pipeline(mesh, axis: str, stage_fn, n_micro: int):
     """Returns pipelined(stacked_params, micro [n_micro, ...]) ->
     [n_micro, ...] outputs, jittable. `stage_fn(params, x)` is one
     stage's computation on one microbatch."""
-    try:
-        from jax import shard_map
-        kwargs = {"check_vma": False}
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
-        kwargs = {"check_rep": False}
+    from weathermodel_tpu.parallel._compat import get_shard_map
 
     fn = functools.partial(_pipeline_local, axis=axis, stage_fn=stage_fn,
                            n_micro=n_micro)
     # P(axis) as a pytree-prefix spec: every param leaf is stage-sharded
     # on its leading axis; the microbatch input is replicated.
-    return shard_map(
+    return get_shard_map()(
         fn, mesh=mesh,
         in_specs=(P(axis), P()),
         out_specs=P(),
-        **kwargs,
     )

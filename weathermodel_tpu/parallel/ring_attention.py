@@ -101,15 +101,10 @@ def make_ring_attention(mesh, seq_axis: str, num_heads: int = 1):
     of q/k/v (axis 1) sharded over `seq_axis`; batch/hidden replicated."""
     from jax.sharding import PartitionSpec as P
 
+    from weathermodel_tpu.parallel._compat import get_shard_map
+
     spec = P(None, seq_axis, None)
     fn = functools.partial(ring_attention, axis_name=seq_axis,
                            num_heads=num_heads)
-    try:
-        from jax import shard_map  # jax >= 0.7 public API (no check_rep)
-        return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
-                         out_specs=spec, check_vma=False)
-    except (ImportError, TypeError):
-        from jax.experimental.shard_map import shard_map as shard_map_exp
-
-        return shard_map_exp(fn, mesh=mesh, in_specs=(spec, spec, spec),
-                             out_specs=spec, check_rep=False)
+    return get_shard_map()(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                           out_specs=spec)
