@@ -113,3 +113,28 @@ def test_trainer_fsdp_end_to_end(data_dir, tmp_path):
     sharded = [l for l in jax.tree.leaves(trainer.state.params)
                if DATA_AXIS in tuple(getattr(l.sharding, "spec", ()))]
     assert len(sharded) >= 2
+
+
+def test_trainer_fsdp_resume(data_dir, tmp_path):
+    # checkpoint written from FSDP-sharded state must resume correctly
+    mcfg = ModelConfig(num_heads=4, num_layers=1, hidden_dim_factor=16,
+                       max_len=T)
+    tcfg = TrainConfig(batch_size=16, num_epochs=3, init_lr=1e-3,
+                       num_warmup_epochs=1, decay_factor=None,
+                       checkpoint_every=2)
+    workdir = str(tmp_path / "fsdp_resume")
+    t1 = PretrainTrainer(
+        WeatherBERT(mcfg), "weatherbert", mcfg, tcfg,
+        _make_loaders(data_dir), workdir=workdir, fsdp=True,
+    )
+    r1 = t1.train()
+    t2 = PretrainTrainer(
+        WeatherBERT(mcfg), "weatherbert", mcfg, tcfg,
+        _make_loaders(data_dir), workdir=workdir, fsdp=True, resume=True,
+    )
+    assert t2.start_epoch > 0
+    assert np.isfinite(t2.best_val_loss)
+    # resumed params match the saved best/final state numerically
+    r2 = t2.train()
+    assert np.isfinite(r2["best_val_loss"])
+    assert r2["best_val_loss"] <= r1["best_val_loss"] + 1e-6
