@@ -81,3 +81,12 @@ def test_chronos_trains_through_yield_trainer():
     tr = YieldTrainer(model, CFG, tcfg, "mse", train_arr, test_arr, n_past)
     best = tr.train()
     assert np.isfinite(best)
+
+
+def test_download_chronos_offline_raises_cleanly(tmp_path):
+    import pytest
+
+    from weathermodel_tpu.models.chronos import download_chronos_checkpoint
+
+    with pytest.raises(RuntimeError, match="chronos-bolt-tiny"):
+        download_chronos_checkpoint(str(tmp_path))

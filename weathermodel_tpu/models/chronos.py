@@ -119,3 +119,25 @@ def load_chronos_torch_weights(params, torch_ckpt_path: str):
         "(%d checkpoint tensors)", torch_ckpt_path, len(sd),
     )
     return new_params
+
+
+def download_chronos_checkpoint(dest_dir: str,
+                                model_id: str = "amazon/chronos-bolt-tiny",
+                                filename: str = "model.safetensors"):
+    """Fetch the pretrained chronos-bolt checkpoint from HuggingFace (the
+    reference's AutoModel download, chronos_yield_model.py:15-36).
+    Network-gated: raises RuntimeError with a clear message offline.
+    Returns the local file path; feed a torch-converted copy (or the
+    pytorch_model.bin variant) to `load_chronos_torch_weights`."""
+    try:
+        from huggingface_hub import hf_hub_download
+    except ImportError as e:
+        raise RuntimeError("huggingface_hub not installed") from e
+    try:
+        return hf_hub_download(repo_id=model_id, filename=filename,
+                               local_dir=dest_dir)
+    except Exception as e:
+        raise RuntimeError(
+            f"could not download {model_id} (no network egress in this "
+            f"environment?): {e}"
+        ) from e
