@@ -115,3 +115,44 @@ def test_serve_cli_roundtrip(tmp_path):
     with np.load(outp) as z:
         assert z["output"].shape == (5, t, cfg.output_dim)
         assert np.isfinite(z["output"]).all()
+
+
+def test_serve_cli_variational_outputs(tmp_path):
+    # WeatherFormer checkpoint -> (mu, var) written to the output npz
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    import jax
+    from weathermodel_tpu.cli.serve import build_parser, run
+    from weathermodel_tpu.models import WeatherFormer
+    from weathermodel_tpu.utils.config import model_config_for_size
+
+    t, f = 16, 31
+    cfg = model_config_for_size("mini", max_len=t)
+    model = WeatherFormer(cfg)
+    rng = np.random.default_rng(1)
+    weather = rng.normal(size=(4, t, f)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), weather[:1],
+                        np.zeros((1, 2), np.float32),
+                        np.full((1, t), 1990.0, np.float32),
+                        np.full((1, 1), 7.0, np.float32),
+                        np.zeros((1, t, f), bool))
+    import os
+
+    ckpt = os.path.abspath(str(tmp_path / "wf_params"))
+    ck = ocp.StandardCheckpointer()
+    ck.save(ckpt, params)
+    ck.wait_until_finished()
+
+    inp = str(tmp_path / "in.npz")
+    np.savez(inp, weather=weather)
+    outp = str(tmp_path / "out.npz")
+    result = run(build_parser().parse_args([
+        "--checkpoint", ckpt, "--model", "weatherformer",
+        "--model-size", "mini", "--input", inp, "--output", outp,
+        "--attention-impl", "xla",
+    ]))
+    assert result["keys"] == ["mu", "var"]
+    with np.load(outp) as z:
+        assert z["mu"].shape == (4, t, f)
+        assert (np.asarray(z["var"]) > 0).all()  # clamped variances
