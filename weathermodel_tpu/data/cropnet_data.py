@@ -68,9 +68,8 @@ def standardize_cropnet(
     data = data.sort_values(["fips", "year"])
     data[ycol] = data.groupby("fips")[ycol].ffill()
 
-    for col in WEATHER_COLS:
-        if col in data.columns:
-            data[col] = (data[col] - data[col].mean()) / data[col].std()
+    wcols = [c for c in WEATHER_COLS if c in data.columns]
+    data[wcols] = (data[wcols] - data[wcols].mean()) / data[wcols].std()
 
     mean = float(data[ycol].mean())
     std = float(data[ycol].std())
@@ -103,18 +102,25 @@ def build_cropnet_arrays(
     logger.info("Filtered to %d counties with %s data for test year %d",
                 len(valid), ycol, test_year)
 
-    # forward fill (reference STEP 2)
+    # forward fill (reference STEP 2); rebuilt via concat to keep the
+    # frame defragmented (block-wise multi-column assignment warns + slows)
     data = data.sort_values(["fips", "year"])
     fill_cols = [ycol, "lat", "lon"] + [c for c in WEATHER_COLS
                                         if c in data.columns]
-    data[fill_cols] = data.groupby("fips")[fill_cols].ffill()
+    filled = data.groupby("fips")[fill_cols].ffill()
+    data = pd.concat([data.drop(columns=fill_cols), filled],
+                     axis=1).copy()  # consolidate blocks
 
-    # station -> county mean aggregation (reference STEP 3)
-    agg = {"lat": "mean", "lon": "mean", ycol: "first"}
-    for c in WEATHER_COLS:
-        if c in data.columns:
-            agg[c] = "mean"
-    data = data.groupby(["year", "fips"]).agg(agg).reset_index()
+    # station -> county mean aggregation (reference STEP 3). Grouped
+    # block-wise (one mean over all numeric columns + a first() for the
+    # yield) instead of a per-column agg dict — same values, and pandas
+    # doesn't rebuild the frame column by column (PerformanceWarning).
+    g = data.groupby(["year", "fips"])
+    mean_cols = ["lat", "lon"] + [c for c in WEATHER_COLS
+                                  if c in data.columns]
+    out = g[mean_cols].mean()
+    out[ycol] = g[ycol].first()
+    data = out.reset_index()
     data = data.sort_values(["fips", "year"]).reset_index(drop=True)
 
     pos = data.groupby("fips").cumcount().to_numpy()
