@@ -168,3 +168,23 @@ def test_pretrain_cli_multi_frequency(tmp_path):
         np.testing.assert_allclose(
             steps, np.broadcast_to(b.interval, steps.shape), atol=0.15)
     assert intervals == {1.0, 7.0, 30.0}
+
+
+def test_pretrain_cli_fsdp_remat_multifreq_compose(tmp_path):
+    # the three orthogonal flags must compose in one run
+    from weathermodel_tpu.cli.pretrain import run
+    from weathermodel_tpu.data.chunks import write_synthetic_dataset
+
+    d = str(tmp_path / "data")
+    write_synthetic_dataset(d, n_chunks=8, n_samples=32, seq_len=8,
+                            freqs=("weekly", "daily"))
+    args = pretrain_parser().parse_args([
+        "--model", "weatherbert", "--model-size", "mini",
+        "--n-epochs", "2", "--batch-size", "16", "--n-warmup-epochs", "1",
+        "--data-dir", d, "--attention-impl", "xla",
+        "--compute-dtype", "float32", "--freqs", "weekly,daily",
+        "--fsdp", "--remat",
+        "--workdir", str(tmp_path / "run"),
+    ])
+    result = run(args)
+    assert np.isfinite(result["best_val_loss"])
