@@ -187,3 +187,32 @@ def test_select_cropnet_files_state_filter():
     assert "WRF-HRRR Computed Dataset/data/2020/MS/feb.csv" in picked
     assert "WRF-HRRR Computed Dataset/data/2020/TX/jan.csv" not in picked
     assert "unrelated/readme.md" not in picked
+
+
+def test_weekly_scalers_feed_non_usa_yield_standardization(tmp_path):
+    # the json emitted by compute_weekly_scalers must drive the non-USA
+    # yield path's fixed-scaler standardization end to end
+    from weathermodel_tpu.data.yield_data import (
+        PARAM_TO_INDEX,
+        load_weather_scalers,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for _ in range(40):
+        row = {}
+        for p in PARAM_TO_INDEX:
+            for w in range(1, 53):
+                row[f"{p}_{w}"] = rng.normal(5.0, 2.0)
+        rows.append(row)
+    csv = tmp_path / "weekly.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    out_path = str(tmp_path / "weekly_weather_param_scalers.json")
+    compute_weekly_scalers([str(csv)], out_path)
+
+    scalers = load_weather_scalers(out_path)
+    # every (param, week) maps to its W_{idx}_{week} column
+    for p, idx in PARAM_TO_INDEX.items():
+        assert f"W_{idx}_1" in scalers and f"W_{idx}_52" in scalers
+    s = scalers[f"W_{list(PARAM_TO_INDEX.values())[0]}_1"]
+    assert abs(s["mean"] - 5.0) < 1.0 and abs(s["std"] - 2.0) < 1.0
