@@ -89,3 +89,33 @@ def test_convert_chunk_from_reference_pt(tmp_path):
         assert z["weather"].shape == (3, 365, 31)
         np.testing.assert_allclose(z["weather"][0],
                                    data[0][0].numpy(), rtol=1e-6)
+
+
+def test_converted_reference_chunks_feed_pretraining(tmp_path):
+    # torch .pt chunk -> wm-etl convert-chunk -> the pretraining loader
+    torch = pytest.importorskip("torch")
+
+    from weathermodel_tpu.data.chunks import chunk_path
+    from weathermodel_tpu.data.pretraining import (
+        PretrainDataConfig,
+        pretrain_batches,
+    )
+
+    data_dir = str(tmp_path / "store")
+    for cid in range(2):
+        data = [(torch.randn(52, 31), torch.tensor([40.0, -90.0]),
+                 torch.tensor([float(cid), 7.0])) for _ in range(12)]
+        pt = str(tmp_path / f"ref_{cid}.pt")
+        torch.save(data, pt)
+        run(build_parser().parse_args(
+            ["convert-chunk", "--pt", pt,
+             "--out", chunk_path(data_dir, "weekly", cid)]))
+
+    cfg = PretrainDataConfig(data_dir=data_dir, batch_size=8,
+                             freqs=("weekly",), num_parts=2)
+    batches = list(pretrain_batches("train", cfg, shuffle=False, seed=0))
+    assert len(batches) >= 1
+    b = batches[0]
+    assert b.weather.shape == (8, 52, 31)
+    # year derivation consumed the converted index (segment, interval)
+    assert (b.year >= 1984).all()
