@@ -53,3 +53,20 @@ def test_ring_output_stays_sequence_sharded():
     assert DATA_AXIS in tuple(out.sharding.spec)
     # uniform inputs -> attention output equals v rows
     np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-6)
+
+def test_ring_bf16_tolerance():
+    # the hot-path dtype: bf16 operands, f32 streaming accumulators
+    mesh = make_mesh(8, 1)
+    b, t, h = 2, 64, 32
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(b, t, h)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, t, h)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, t, h)), jnp.bfloat16)
+    ring = jax.jit(make_ring_attention(mesh, DATA_AXIS, num_heads=4))
+    with mesh:
+        got = ring(q, k, v)
+    assert got.dtype == jnp.bfloat16
+    want = _full_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                           v.astype(jnp.float32), 4)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=0.02, atol=0.02)
