@@ -28,6 +28,26 @@ PYTORCH_GPU_BASELINE = {
     "mini": 12000.0, "small": 2000.0, "medium": 700.0, "large": 190.0,
 }
 
+# TPU v5e (v5 lite) peak dense bf16 throughput per chip, TFLOP/s.
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def analytic_flops_per_sample(cfg, mode: str) -> float:
+    """Matmul FLOPs per sample (useful FLOPs, no padding) for the
+    WeatherBERT/WeatherFormer encoder stack.
+
+    Per layer MACs: qkv proj 3*T*h^2, scores+AV 2*T^2*h, attn out T*h^2,
+    FFN 8*T*h^2 -> 12*T*h^2 + 2*T^2*h; plus in_proj T*34*h and out_proj
+    T*h*31 (x2 for WeatherFormer's mu/logvar head — negligible either way).
+    Backward costs 2x forward for matmuls, so train = 3x fwd. Elementwise
+    (LN, softmax, dropout, Adam) excluded — standard MFU convention.
+    """
+    t, h, n_layers = cfg.max_len, cfg.hidden_dim, cfg.num_layers
+    macs = n_layers * (12 * t * h * h + 2 * t * t * h)
+    macs += cfg.input_dim * t * h + t * h * cfg.output_dim
+    fwd_flops = 2.0 * macs
+    return fwd_flops if mode == "eval" else 3.0 * fwd_flops
+
 
 def main():
     import jax
@@ -135,11 +155,22 @@ def main():
         file=sys.stderr,
     )
     metric_kind = "eval" if mode == "eval" else "pretrain"
+    # Hardware-grounded absolute: achieved dense TFLOP/s and % of v5e bf16
+    # peak, from analytic FLOPs/sample (VERDICT r2 directive #2). This is
+    # independent of the estimated PyTorch denominator.
+    flops_per_sample = analytic_flops_per_sample(cfg, mode)
+    tflops = per_chip * flops_per_sample / 1e12
+    mfu = tflops / V5E_BF16_PEAK_TFLOPS
     print(json.dumps({
         "metric": f"{metric_kind}_samples_per_sec_per_chip_{model_tag}_{size}",
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(per_chip / PYTORCH_GPU_BASELINE[size], 3),
+        "tflops": round(tflops, 2),
+        "mfu": round(mfu, 4),
+        "flops_per_sample": flops_per_sample,
+        "mfu_note": "achieved dense TFLOP/s vs 197 TF/s v5e bf16 peak; "
+                    "analytic matmul FLOPs, no padding counted",
         # the reference publishes no numbers (SURVEY.md §6); the denominator
         # is the estimated PyTorch-H100 throughput derived in BASELINE.md
         "baseline_note": "denominator is an estimate, see BASELINE.md",
