@@ -62,6 +62,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder layers in backward (trade "
                         "FLOPs for HBM; for large models / long sequences)")
+    p.add_argument("--seq-parallel", default=1, type=int,
+                   help="shard the sequence dim over N devices; attention "
+                        "runs as an exact ring over ICI (requires "
+                        "max_len %% N == 0; beyond-reference scale-out)")
+    p.add_argument("--pipeline-stages", default=1, type=int,
+                   help="stage the encoder layers over N devices (GPipe "
+                        "schedule; requires num_layers %% N == 0)")
+    p.add_argument("--pipeline-microbatches", default=4, type=int,
+                   help="microbatches streamed through the pipeline")
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + optimizer moments over the 'data' "
                         "mesh axis (ZeRO-3-style; per-chip state memory / "
@@ -173,7 +182,10 @@ def run(args: argparse.Namespace) -> dict:
     def make_loaders(split, shuffle, seed):
         return pretrain_batches(split, dcfg, shuffle=shuffle, seed=seed)
 
-    model = make_model(args.model, mcfg, args.attention_impl,
+    attention_impl = args.attention_impl
+    if args.seq_parallel > 1:
+        attention_impl = "ring"  # sequence-parallel exact ring attention
+    model = make_model(args.model, mcfg, attention_impl,
                        remat=args.remat)
     pretrained = None
     if args.pretrained_model_path:
@@ -186,6 +198,9 @@ def run(args: argparse.Namespace) -> dict:
         pretrained_params=pretrained,
         resume=args.resume_from_checkpoint is not None,
         fsdp=args.fsdp,
+        seq_parallel=args.seq_parallel,
+        pipeline_stages=args.pipeline_stages,
+        pipeline_microbatches=args.pipeline_microbatches,
     )
     return trainer.train()
 

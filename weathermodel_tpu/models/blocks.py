@@ -72,7 +72,7 @@ class SelfAttention(nn.Module):
     hidden_dim: int
     num_heads: int
     dropout_rate: float = 0.1
-    attention_impl: str = "xla"  # "xla" | "pallas"
+    attention_impl: str = "xla"  # "xla" | "pallas" | "ring" (seq-parallel)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

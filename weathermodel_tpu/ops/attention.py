@@ -77,4 +77,51 @@ def multi_head_attention(
     if impl == "xla":
         return _xla_attention(q, k, v, num_heads, key_padding_mask,
                               dropout_rate, dropout_rng)
+    if impl == "ring":
+        return _ring_attention_dispatch(q, k, v, num_heads,
+                                        key_padding_mask, dropout_rate,
+                                        dropout_rng)
     raise ValueError(f"Unknown attention impl: {impl}")
+
+
+# --- sequence-parallel (ring) context -------------------------------------
+# The flax modules carry only the impl STRING; the mesh/axis the ring runs
+# over is session state, set once by the trainer/CLI before building the
+# step (wm-pretrain --seq-parallel N).
+_RING_CTX = {}
+
+
+def configure_ring_attention(mesh, seq_axis: str, batch_axis=None) -> None:
+    """Set the mesh/axes used by attention impl="ring". The sequence dim is
+    sharded over `seq_axis` (ring ppermute over ICI); the batch dim over
+    `batch_axis` when given (SP x DP)."""
+    _RING_CTX["mesh"] = mesh
+    _RING_CTX["seq_axis"] = seq_axis
+    _RING_CTX["batch_axis"] = batch_axis
+
+
+def _ring_attention_dispatch(q, k, v, num_heads, key_padding_mask,
+                             dropout_rate, dropout_rng):
+    if key_padding_mask is not None:
+        raise ValueError("ring attention does not support key_padding_mask")
+    if "mesh" not in _RING_CTX:
+        raise ValueError(
+            "attention impl='ring' needs configure_ring_attention(mesh, "
+            "seq_axis) first (wm-pretrain --seq-parallel sets it up)"
+        )
+    from weathermodel_tpu.parallel.ring_attention import make_ring_attention
+
+    n = _RING_CTX["mesh"].shape[_RING_CTX["seq_axis"]]
+    if q.shape[1] % n != 0:
+        raise ValueError(
+            f"sequence length {q.shape[1]} not divisible by the "
+            f"seq-parallel degree {n}"
+        )
+    rate = dropout_rate if dropout_rng is not None else 0.0
+    fn = make_ring_attention(
+        _RING_CTX["mesh"], _RING_CTX["seq_axis"], num_heads=num_heads,
+        batch_axis=_RING_CTX["batch_axis"], dropout_rate=rate,
+    )
+    if rate > 0.0:
+        return fn(q, k, v, dropout_rng)
+    return fn(q, k, v)

@@ -42,7 +42,8 @@ def stack_stage_params(per_stage_params, mesh, axis: str):
     )
 
 
-def _pipeline_local(stage_params, micro, axis, stage_fn, n_micro):
+def _pipeline_local(stage_params, micro, seed, axis, stage_fn, n_micro,
+                    pass_ctx):
     """Runs on ONE device inside shard_map. stage_params: this stage's
     params (leading axis 1); micro: [n_micro_local...] microbatches — only
     stage 0's slice is real input (others ignored)."""
@@ -60,7 +61,12 @@ def _pipeline_local(stage_params, micro, axis, stage_fn, n_micro):
         mb_t = jax.lax.dynamic_index_in_dim(
             micro, jnp.minimum(t, n_micro - 1), axis=0, keepdims=False)
         x_in = jnp.where((s == 0) & (t < n_micro), mb_t, buf)
-        y = stage_fn(params, x_in)
+        if pass_ctx:
+            # the microbatch this stage holds at tick t is m = t - s;
+            # stage_fn derives per-(microbatch, layer) RNG streams from it
+            y = stage_fn(params, x_in, t - s, seed)
+        else:
+            y = stage_fn(params, x_in)
         # push my output to the next stage; the last stage's output is
         # collected below (its push wraps to stage 0 and is overwritten)
         n = n_stages
@@ -90,18 +96,34 @@ def _pipeline_local(stage_params, micro, axis, stage_fn, n_micro):
     return outs
 
 
-def make_pipeline(mesh, axis: str, stage_fn, n_micro: int):
+def make_pipeline(mesh, axis: str, stage_fn, n_micro: int,
+                  batch_axis=None, pass_ctx: bool = False):
     """Returns pipelined(stacked_params, micro [n_micro, ...]) ->
     [n_micro, ...] outputs, jittable. `stage_fn(params, x)` is one
-    stage's computation on one microbatch."""
+    stage's computation on one microbatch.
+
+    batch_axis: shard dim 1 of `micro` (the per-microbatch batch rows)
+    over this mesh axis — composes PP with DP in one shard_map.
+    pass_ctx: call stage_fn(params, x, microbatch_index, seed) instead —
+    the returned fn then takes (stacked_params, micro, seed), `seed` a
+    replicated PRNG key for per-(microbatch, layer) dropout streams."""
     from weathermodel_tpu.parallel._compat import get_shard_map
 
     fn = functools.partial(_pipeline_local, axis=axis, stage_fn=stage_fn,
-                           n_micro=n_micro)
+                           n_micro=n_micro, pass_ctx=pass_ctx)
     # P(axis) as a pytree-prefix spec: every param leaf is stage-sharded
-    # on its leading axis; the microbatch input is replicated.
+    # on its leading axis; the microbatch input is replicated over 'model'
+    # (and sharded over batch_axis when given).
+    micro_spec = P(None, batch_axis) if batch_axis else P()
+    if not pass_ctx:
+        wrapped = get_shard_map()(
+            lambda sp, micro: fn(sp, micro, None), mesh=mesh,
+            in_specs=(P(axis), micro_spec),
+            out_specs=micro_spec,
+        )
+        return wrapped
     return get_shard_map()(
         fn, mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
+        in_specs=(P(axis), micro_spec, P()),
+        out_specs=micro_spec,
     )

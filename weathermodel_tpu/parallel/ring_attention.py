@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _block_update(q, k_blk, v_blk, acc, l, m, scale):
+def _block_update(q, k_blk, v_blk, acc, l, m, scale, keep=None):
     s = jax.lax.dot_general(
         q, k_blk, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -40,21 +40,35 @@ def _block_update(q, k_blk, v_blk, acc, l, m, scale):
     m_new = jnp.maximum(m, jnp.max(s, axis=-1))      # [B, Tq]
     corr = jnp.exp(m - m_new)
     p = jnp.exp(s - m_new[..., None])
+    # Attention-weight dropout (torch semantics: dropout AFTER softmax
+    # normalization): drop entries from the value accumulator only — the
+    # normalizer l keeps the FULL row sum, and the caller applies the
+    # 1/(1-rate) survivor scaling once at the end. The running-max
+    # correction factors multiply acc uniformly, so dropping unnormalized
+    # p entries is exact.
+    p_acc = p if keep is None else jnp.where(keep, p, 0.0)
     acc = acc * corr[..., None] + jax.lax.dot_general(
-        p, v_blk.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        p_acc, v_blk.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     l = l * corr + jnp.sum(p, axis=-1)
     return acc, l, m_new
 
 
-def ring_attention(q, k, v, axis_name: str, num_heads: int = 1):
+def ring_attention(q, k, v, axis_name: str, num_heads: int = 1,
+                   dropout_rate: float = 0.0, dropout_rng=None):
     """Exact attention with q/k/v sequence-sharded over `axis_name`.
 
     q/k/v: [B, T_local, H] per device (H = num_heads * head_dim; heads
     are processed by folding them into the batch dim). Returns the local
     [B, T_local, H] output slice. Must run inside shard_map/pmap with
     `axis_name` defined.
+
+    Attention-weight dropout (torch nn.MultiheadAttention semantics, the
+    reference's training default — weatherbert.py:45-51): each (q, k)
+    entry's keep decision comes from `dropout_rng` folded with the
+    (q-device, k-block) pair, so the stream is deterministic per seed and
+    independent across ring steps regardless of device count.
     """
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
@@ -78,7 +92,16 @@ def ring_attention(q, k, v, axis_name: str, num_heads: int = 1):
 
     def body(i, carry):
         acc, l, m, k_cur, v_cur = carry
-        acc, l, m = _block_update(qh, k_cur, v_cur, acc, l, m, scale)
+        keep = None
+        if dropout_rate > 0.0:
+            # the block held at ring step i originated on device (idx - i)
+            src = jnp.remainder(idx - i, n)
+            pair_key = jax.random.fold_in(
+                jax.random.fold_in(dropout_rng, idx), src)
+            keep = jax.random.bernoulli(
+                pair_key, 1.0 - dropout_rate, (b * num_heads, t, t))
+        acc, l, m = _block_update(qh, k_cur, v_cur, acc, l, m, scale,
+                                  keep=keep)
         # rotate k/v to the next device; after n steps every q block has
         # seen every k/v block exactly once
         k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
@@ -88,6 +111,8 @@ def ring_attention(q, k, v, axis_name: str, num_heads: int = 1):
     acc, l, m, _, _ = jax.lax.fori_loop(
         0, n, body, (acc, l, m, kh, vh))
     out = acc / l[..., None]
+    if dropout_rate > 0.0:
+        out = out * (1.0 / (1.0 - dropout_rate))
 
     # batch -> heads
     out = (out.reshape(b, num_heads, t, hd)
@@ -96,15 +121,24 @@ def ring_attention(q, k, v, axis_name: str, num_heads: int = 1):
     return out.astype(q.dtype)
 
 
-def make_ring_attention(mesh, seq_axis: str, num_heads: int = 1):
+def make_ring_attention(mesh, seq_axis: str, num_heads: int = 1,
+                        batch_axis=None, dropout_rate: float = 0.0):
     """Wrap ring_attention in shard_map over `mesh` with the sequence dim
-    of q/k/v (axis 1) sharded over `seq_axis`; batch/hidden replicated."""
+    of q/k/v (axis 1) sharded over `seq_axis`; the batch dim sharded over
+    `batch_axis` when given (composes SP with DP), hidden replicated.
+
+    When dropout_rate > 0 the returned fn takes (q, k, v, dropout_rng)
+    with a replicated PRNG key; otherwise (q, k, v)."""
     from jax.sharding import PartitionSpec as P
 
     from weathermodel_tpu.parallel._compat import get_shard_map
 
-    spec = P(None, seq_axis, None)
+    spec = P(batch_axis, seq_axis, None)
     fn = functools.partial(ring_attention, axis_name=seq_axis,
-                           num_heads=num_heads)
+                           num_heads=num_heads, dropout_rate=dropout_rate)
+    if dropout_rate > 0.0:
+        return get_shard_map()(
+            lambda q, k, v, rng: fn(q, k, v, dropout_rng=rng),
+            mesh=mesh, in_specs=(spec, spec, spec, P()), out_specs=spec)
     return get_shard_map()(fn, mesh=mesh, in_specs=(spec, spec, spec),
                            out_specs=spec)

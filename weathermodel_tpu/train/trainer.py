@@ -64,14 +64,60 @@ class PretrainTrainer:
         objective: Optional[str] = None,
         masking: Optional[str] = None,
         fsdp: bool = False,
+        seq_parallel: int = 1,
+        pipeline_stages: int = 1,
+        pipeline_microbatches: int = 4,
     ):
-        """make_loaders(split, shuffle, seed) -> iterator of Batch."""
+        """make_loaders(split, shuffle, seed) -> iterator of Batch.
+
+        seq_parallel=N: sequence dim sharded over a 'model' axis of size
+        N, attention runs as a ring over ICI (model must be built with
+        attention_impl="ring"). pipeline_stages=N: encoder layers staged
+        over a 'model' axis of size N (GPipe schedule). Both compose with
+        DP on the remaining devices; they cannot be combined with each
+        other or with fsdp (one 'model' axis)."""
         self.model = model
         self.model_name = model_name
         self.model_cfg = model_cfg
         self.cfg = train_cfg
         self.make_loaders = make_loaders
+        if (seq_parallel > 1) + (pipeline_stages > 1) + fsdp > 1:
+            raise ValueError(
+                "--seq-parallel, --pipeline-stages and --fsdp are "
+                "mutually exclusive")
+        if seq_parallel > 1 or pipeline_stages > 1:
+            if mesh is not None:
+                raise ValueError("pass either mesh or seq/pipeline flags")
+            n_model = seq_parallel if seq_parallel > 1 else pipeline_stages
+            n_dev = len(jax.devices())
+            if n_dev % n_model:
+                raise ValueError(
+                    f"{n_dev} devices not divisible by parallel degree "
+                    f"{n_model}")
+            mesh = make_mesh(n_dev // n_model, n_model)
         self.mesh = mesh or make_mesh()
+        step_model = model
+        if seq_parallel > 1:
+            from weathermodel_tpu.ops.attention import (
+                configure_ring_attention,
+            )
+            from weathermodel_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            if getattr(model, "attention_impl", None) != "ring":
+                raise ValueError(
+                    "--seq-parallel needs the model built with "
+                    "attention_impl='ring'")
+            # (the runtime sequence length must divide seq_parallel; the
+            # attention dispatch raises a clear error otherwise)
+            configure_ring_attention(self.mesh, MODEL_AXIS,
+                                     batch_axis=DATA_AXIS)
+        if pipeline_stages > 1:
+            from weathermodel_tpu.train.pipeline_step import (
+                make_pipelined_model,
+            )
+
+            step_model = make_pipelined_model(
+                model, self.mesh, n_micro=pipeline_microbatches)
         self.workdir = workdir
         if objective is None or masking is None:
             objective, masking = OBJECTIVE_FOR_MODEL[model_name]
@@ -112,7 +158,7 @@ class PretrainTrainer:
         tx = make_optimizer()
         self._train_step = compile_step(
             make_train_step(
-                model, self.objective, self.masking,
+                step_model, self.objective, self.masking,
                 masking_prob=train_cfg.masking_prob, beta=train_cfg.beta,
                 tx=tx,
             ),
@@ -121,7 +167,7 @@ class PretrainTrainer:
         )
         self._eval_step = compile_step(
             make_eval_step(
-                model, self.objective, self.masking,
+                step_model, self.objective, self.masking,
                 masking_prob=train_cfg.masking_prob, beta=train_cfg.beta,
             ),
             self.mesh,
@@ -170,7 +216,12 @@ class PretrainTrainer:
             jnp.zeros((b, t, cfg.weather_dim), dtype=bool),
         )
         self.rng, key = jax.random.split(self.rng)
-        return self.model.init(key, *dummy)
+        # impl="ring" would run the shard_map ring eagerly at init; the
+        # param tree is impl-independent, so init through an XLA clone.
+        init_model = self.model
+        if getattr(init_model, "attention_impl", None) == "ring":
+            init_model = init_model.clone(attention_impl="xla")
+        return init_model.init(key, *dummy)
 
     def _resume(self):
         if self.checkpointer.latest_epoch() is None:
