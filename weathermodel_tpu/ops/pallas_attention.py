@@ -70,8 +70,21 @@ def _pad_len(t: int) -> int:
     return ((t + LANE - 1) // LANE) * LANE
 
 
-def _softmax_parts(qs, k, t_real):
-    """qs (= q * scale) @ k^T -> (masked unnormalized exp, 1/rowsum).
+def _scores(qs, k):
+    """qs (= q * scale) @ k^T, f32 accumulation ([Tp, Tp]).
+
+    Matmul operands stay in the input dtype (bf16 on the hot path) with f32
+    ACCUMULATION — f32-operand matmuls run 3-6x slower on the MXU. The MXU
+    accumulator is 32-bit (Mosaic rejects bf16 acc), and a separate
+    f32->bf16 cast pass measured net-slower (abl round 2)."""
+    return jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _softmax_parts_from_scores(scores, t_real):
+    """scores -> (unnormalized exp, 1/real-rowsum).
 
     VPU-pass-minimized softmax (the kernels are VPU-bound, not MXU-bound —
     BASELINE.md step budget). Tricks, all exact:
@@ -80,29 +93,30 @@ def _softmax_parts(qs, k, t_real):
         doesn't overflow, so m = rowmax over the FULL row (padded cols
         contribute exact 0 scores because k's pad rows are zeros) — no
         separate -inf masking pass before the max,
-      * padding-column zeroing is fused into the exp pass,
+      * pad columns are NOT zeroed at all (round-3): their e value is
+        exactly exp(-m) (k pad rows are exact zeros -> scores there are
+        exact 0), so the real-column rowsum is recovered in closed form,
+        sum_real = sum_all - n_pad * exp(-m) — a [Tp, 1] column op instead
+        of the old [Tp, Tp] iota+where zeroing pass. The AV matmul stays
+        exact because v's pad ROWS are zeros; the backward stays exact
+        because dw's pad columns are zero (do @ v^T) and every pad-row
+        output is sliced off by the caller,
       * normalization is a reciprocal multiply, fused into the caller's
         dropout/cast pass.
-    Matmul operands stay in the input dtype (bf16 on the hot path) with f32
-    ACCUMULATION — f32-operand matmuls run 3-6x slower on the MXU. exp/
-    normalize stay f32 (bf16 exp measured SLOWER on v5e, abl round 2)."""
-    # Scores are f32: the MXU accumulator is 32-bit (Mosaic rejects bf16
-    # acc), and a separate f32->bf16 cast pass measured net-slower than
-    # keeping the softmax math f32 (abl round 2).
-    scores = jax.lax.dot_general(
-        qs, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                          # [Tp, Tp] f32
+    exp/normalize stay f32 (bf16 exp measured SLOWER on v5e, abl round 2)."""
     tp = scores.shape[0]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
     if t_real < tp:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        e = jnp.where(col < t_real, e, jnp.zeros([], e.dtype))
-    # f32 sum; +tiny guards the degenerate all-masked/underflowed-row case
-    recip = 1.0 / (jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
-                   + 1e-30)
+        s = s - (tp - t_real) * jnp.exp(-m)
+    # +tiny guards the degenerate all-masked/underflowed-row case
+    recip = 1.0 / (s + 1e-30)
     return e, recip
+
+
+def _softmax_parts(qs, k, t_real):
+    return _softmax_parts_from_scores(_scores(qs, k), t_real)
 
 
 def _dropout_mask(shape, rate):
@@ -115,12 +129,14 @@ def _dropout_mask(shape, rate):
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_real,
                 dropout_rate, block_b, num_heads, hd):
-    def item(i, j):
+    def head_scores(i, j):
         sl = slice(j * hd, (j + 1) * hd)
-        q = q_ref[i, :, sl]                       # [Tp, hd] input dtype
-        k = k_ref[i, :, sl]
+        return _scores(q_ref[i, :, sl] * scale, k_ref[i, :, sl])
+
+    def head_finish(i, j, scores):
+        sl = slice(j * hd, (j + 1) * hd)
         v = v_ref[i, :, sl]
-        e, recip = _softmax_parts(q * scale, k, t_real)
+        e, recip = _softmax_parts_from_scores(scores, t_real)
         if dropout_rate > 0.0:
             pltpu.prng_seed(seed_ref[0]
                             + (pl.program_id(0) * block_b + i) * num_heads
@@ -132,13 +148,20 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_real,
             w16 = jnp.where(keep, e * scl, jnp.zeros([], e.dtype))
         else:
             w16 = e * recip.astype(e.dtype)
-        out = jnp.dot(w16.astype(q.dtype), v,
+        out = jnp.dot(w16.astype(v.dtype), v,
                       preferred_element_type=jnp.float32)
         o_ref[i, :, sl] = out.astype(o_ref.dtype)
 
     def body(i, _):
-        for j in range(num_heads):  # static unroll over heads
-            item(i, j)
+        # 2-stage software pipeline over the static head unroll: issue head
+        # j+1's QK^T (MXU) ahead of head j's softmax/dropout (VPU) so the
+        # two units overlap — the round-2 no-exp probe showed ~25% of fwd
+        # time was UNHIDDEN VPU work behind a serial per-head chain.
+        sc = head_scores(i, 0)
+        for j in range(num_heads):
+            nxt = head_scores(i, j + 1) if j + 1 < num_heads else None
+            head_finish(i, j, sc)
+            sc = nxt
         return 0
 
     jax.lax.fori_loop(0, block_b, body, 0)
@@ -147,6 +170,15 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_real,
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale, t_real, dropout_rate,
                 block_b, num_heads, hd):
+    # Round-3 notes: the backward is VMEM-edge-critical (the 16MB scoped
+    # wall). Two restructures measured/attempted this round:
+    #   * 2-stage MXU/VPU head pipeline (as in the forward): 48% SLOWER
+    #     (15.9 vs 10.7 ms) — the extra live [Tp, Tp] scores buffer on top
+    #     of the 5 matmuls' temporaries stalls the schedule;
+    #   * flash-style rowsum(do*o) via a saved o residual: the extra
+    #     input stream pushed the scoped stack to 23.1M > 16M — OOM at
+    #     compile. Both reverted; only the pad-zeroing-pass removal
+    #     (exact, see _softmax_parts_from_scores) is kept here.
     def item(i, j):
         sl = slice(j * hd, (j + 1) * hd)
         q = q_ref[i, :, sl]                       # input dtype (bf16 hot path)
@@ -155,20 +187,29 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
         do = do_ref[i, :, sl]
         dt = q.dtype
         qs = q * scale
-        e, recip = _softmax_parts(qs, k, t_real)    # [Tp, Tp] input dtype
-        w = e * recip.astype(e.dtype)               # pre-dropout softmax
+        e, recip = _softmax_parts(qs, k, t_real)
 
+        # Fused formulation (exact, round-3): with wd = keep * w * inv
+        # (the dropped softmax, w = e * recip), the classic chain
+        #     dw = keep * dwd * inv;  rowsum = sum(dw * w);
+        #     ds = w * (dw - rowsum)
+        # rewrites as
+        #     prod = wd * dwd;  rowsum = sum(prod);
+        #     ds = prod - e * (recip * rowsum)
+        # because w*dw == wd*dwd elementwise and w*rowsum == e*(recip*
+        # rowsum). This never materializes w or dw: ~2 fewer [Tp, Tp] VPU
+        # passes in the pass-bound backward.
         if dropout_rate > 0.0:
             # identical PRNG stream as the forward pass
             pltpu.prng_seed(seed_ref[0]
                             + (pl.program_id(0) * block_b + i) * num_heads
                             + j)
-            keep = _dropout_mask(w.shape, dropout_rate)
-            inv_keep = 1.0 / (1.0 - dropout_rate)
-            wd16 = jnp.where(keep, w * inv_keep,
-                             jnp.zeros([], w.dtype)).astype(dt)
+            keep = _dropout_mask(e.shape, dropout_rate)
+            scl = recip * (1.0 / (1.0 - dropout_rate))
+            wdf = jnp.where(keep, e * scl, jnp.zeros([], e.dtype))
         else:
-            wd16 = w.astype(dt)
+            wdf = e * recip
+        wd16 = wdf.astype(dt)
 
         dv = jax.lax.dot_general(                   # wd^T @ do
             wd16, do, (((0,), (0,)), ((), ())),
@@ -178,15 +219,13 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if dropout_rate > 0.0:
-            dw = jnp.where(keep, dwd * inv_keep, jnp.zeros([], dwd.dtype))
-        else:
-            dw = dwd
-        # padded cols have w == 0 exactly, so ds vanishes there — no extra
-        # masking pass needed. Row sums accumulate f32.
-        rowsum = jnp.sum((dw * w).astype(jnp.float32), axis=-1,
-                         keepdims=True)
-        ds = w * (dw - rowsum.astype(w.dtype))
+        # dwd's pad cols are exact zeros (v pad rows are zeros), so the
+        # rowsum ignores them; ds pad cols = -e_pad*rr are nonzero but
+        # only ever multiply k's zero pad rows (dq) or land in dk/dv pad
+        # rows, which the caller slices off.
+        prod = wdf * dwd
+        rowsum = jnp.sum(prod, axis=-1, keepdims=True)
+        ds = prod - e * (recip * rowsum)
         ds16 = ds.astype(dt)
         dq = jnp.dot(ds16, k, preferred_element_type=jnp.float32) * scale
         dk = jax.lax.dot_general(                   # ds^T @ (q * scale)
