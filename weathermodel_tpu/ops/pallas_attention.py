@@ -188,28 +188,22 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
         dt = q.dtype
         qs = q * scale
         e, recip = _softmax_parts(qs, k, t_real)
+        w = e * recip                               # pre-dropout softmax, f32
+        # (A "fused" rewrite ds = wd*dwd - e*(recip*rowsum) that avoids
+        # materializing w/dw measured SLOWER — 10.38 -> 10.71 ms — Mosaic
+        # already fuses these chains; keep the straightforward form.)
 
-        # Fused formulation (exact, round-3): with wd = keep * w * inv
-        # (the dropped softmax, w = e * recip), the classic chain
-        #     dw = keep * dwd * inv;  rowsum = sum(dw * w);
-        #     ds = w * (dw - rowsum)
-        # rewrites as
-        #     prod = wd * dwd;  rowsum = sum(prod);
-        #     ds = prod - e * (recip * rowsum)
-        # because w*dw == wd*dwd elementwise and w*rowsum == e*(recip*
-        # rowsum). This never materializes w or dw: ~2 fewer [Tp, Tp] VPU
-        # passes in the pass-bound backward.
         if dropout_rate > 0.0:
             # identical PRNG stream as the forward pass
             pltpu.prng_seed(seed_ref[0]
                             + (pl.program_id(0) * block_b + i) * num_heads
                             + j)
-            keep = _dropout_mask(e.shape, dropout_rate)
-            scl = recip * (1.0 / (1.0 - dropout_rate))
-            wdf = jnp.where(keep, e * scl, jnp.zeros([], e.dtype))
+            keep = _dropout_mask(w.shape, dropout_rate)
+            inv_keep = 1.0 / (1.0 - dropout_rate)
+            wd16 = jnp.where(keep, w * inv_keep,
+                             jnp.zeros([], w.dtype)).astype(dt)
         else:
-            wdf = e * recip
-        wd16 = wdf.astype(dt)
+            wd16 = w.astype(dt)
 
         dv = jax.lax.dot_general(                   # wd^T @ do
             wd16, do, (((0,), (0,)), ((), ())),
@@ -219,13 +213,17 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        # dwd's pad cols are exact zeros (v pad rows are zeros), so the
-        # rowsum ignores them; ds pad cols = -e_pad*rr are nonzero but
+        if dropout_rate > 0.0:
+            dw = jnp.where(keep, dwd * inv_keep, jnp.zeros([], dwd.dtype))
+        else:
+            dw = dwd
+        # dw's pad cols are exact zeros (v pad rows are zeros), so the
+        # rowsum ignores them; ds pad cols = -w_pad*rowsum are nonzero but
         # only ever multiply k's zero pad rows (dq) or land in dk/dv pad
         # rows, which the caller slices off.
-        prod = wdf * dwd
-        rowsum = jnp.sum(prod, axis=-1, keepdims=True)
-        ds = prod - e * (recip * rowsum)
+        rowsum = jnp.sum((dw * w).astype(jnp.float32), axis=-1,
+                         keepdims=True)
+        ds = w * (dw - rowsum)
         ds16 = ds.astype(dt)
         dq = jnp.dot(ds16, k, preferred_element_type=jnp.float32) * scale
         dk = jax.lax.dot_general(                   # ds^T @ (q * scale)
