@@ -20,6 +20,14 @@ isolation (no softmax, identical IO, dropout off):
                 S3 = q3 @ Kbd [384, 1152];  O3 = S3 @ Vbd [384, 108]
 
 Run: nohup python scripts/abl_headpack.py > /tmp/abl_headpack.log 2>&1 &
+
+MEASURED (v5e-1, 2026-08-17): V0 3.484 ms, V1 3.708 ms — the packed
+variant is SLOWER even though it computes only 15 of 16 heads (g=3 does
+not divide nh=16; the last head is skipped, hence the reported rel-err —
+the 15 computed heads agree). Per useful head the packed form is ~13%
+slower: pass-count conservation holds, and the block-diagonal scratch
+construction adds pure overhead. Negative result recorded in BASELINE.md
+round-3; closes VERDICT r2 directive #1's "try the head-packing lever".
 """
 
 import functools

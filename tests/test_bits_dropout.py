@@ -144,3 +144,47 @@ def test_bits8_sign_relu_composition_exact():
     g_sign = jax.grad(f(fd.bits8_sign_dropout))(z)
     g_regen = jax.grad(f(fd.bits8_dropout))(z)
     np.testing.assert_array_equal(np.asarray(g_sign), np.asarray(g_regen))
+
+
+def test_bits4_rate_exact_in_expectation():
+    # 4-bit nibbles + per-row dithered threshold: marginal drop rate is
+    # exactly `rate` in expectation; per-call wobble stays bounded because
+    # the dither is per ROW, not per call
+    x = jnp.ones((512, 256))
+    drops = []
+    f = jax.jit(lambda k: 1.0 - jnp.mean(
+        (fd.bits4_dropout(x, k, 0.1) > 0).astype(jnp.float32)))
+    for s in range(64):
+        drops.append(float(f(jax.random.PRNGKey(s))))
+    mean_rate = np.mean(drops)
+    assert abs(mean_rate - 0.1) < 2e-3
+    # per-row dithering keeps realized per-call rates near the mean
+    # (rows mix the 1/16 and 2/16 thresholds inside one call)
+    assert min(drops) > 0.09 and max(drops) < 0.11
+
+
+def test_bits4_halves_use_independent_nibbles():
+    # lo/hi nibble masks must be independent: the two halves of the minor
+    # dim should not share drop patterns
+    key = jax.random.PRNGKey(7)
+    y = np.asarray(fd.bits4_dropout(jnp.ones((4096, 64)), key, 0.3))
+    lo = (y[:, :32] == 0)
+    hi = (y[:, 32:] == 0)
+    agree = np.mean(lo == hi)
+    # independent Bernoulli(0.3) masks agree w.p. 0.3^2 + 0.7^2 = 0.58
+    assert 0.54 < agree < 0.62, agree
+
+
+def test_bits4_backward_matches_forward_mask():
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 512))
+    g = jax.grad(lambda x: jnp.sum(fd.bits4_dropout(x, key, 0.1)))(x)
+    y = fd.bits4_dropout(x, key, 0.1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(g * x), rtol=1e-6)
+
+
+def test_bits4_odd_minor_dim_falls_back():
+    key = jax.random.PRNGKey(3)
+    y = fd.bits4_dropout(jnp.ones((8, 31)), key, 0.1)
+    assert y.shape == (8, 31)
+    assert float(jnp.max(y)) > 1.0  # survivors scaled

@@ -50,6 +50,7 @@ _IMPLS = (
     "bits16_ad",  # where-form, standard AD (bool residual)
     "mul16",      # multiply-form (x * mask_scale), custom_vjp recompute
     "bits8",      # 8-bit words (dithered threshold), custom_vjp regen
+    "bits4",      # u8 nibbles over minor-dim halves, per-row dither
     "bits8_sign", # bits8, bwd mask inferred from the fwd output's sign
     "nn",         # flax nn.Dropout
     "skip",       # XLA-side sites disabled (ablation: isolates kernel cost)
@@ -148,6 +149,50 @@ def _apply8(x, key, rate):
     return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
 
 
+def _apply4(x, key, rate):
+    """4-bit nibbles from u8 words — HALF the generator bytes of bits8,
+    which is the measured binding cost of XLA-side dropout (BASELINE.md
+    round-2b: the sites' cost is RNG generation, all mask formulations
+    time equal).
+
+    Layout trick: one u8 word per TWO elements, split as lo/hi nibble and
+    applied to the two HALVES of the minor dim (keep = concat(lo >= thr,
+    hi >= thr)) — pure elementwise + minor-dim concat, which fuses; an
+    interleaved pairing would need a relayout (the measured 42 ms trap).
+
+    Exactness: rate*16 = t + f; the threshold is t + Bernoulli(f) drawn
+    PER ROW from one extra u8 word per row, so every element's marginal
+    drop probability is exactly `rate` and the dither correlation is
+    confined to a row (at 1/16 granularity the per-call wobble would
+    otherwise be +-25%% of the rate; per-row dithering averages it out
+    across the tensor). Falls back to bits8 for odd minor dims."""
+    half, rem = divmod(x.shape[-1], 2)
+    if rem or half == 0:
+        return _apply8(x, key, rate)
+    t = int(rate * 16)
+    f = rate * 16 - t
+    kd, kt = jax.random.split(key)
+    rows = x.shape[:-1] + (1,)
+    thr = jnp.uint8(t) + (
+        jax.random.bits(kt, rows, jnp.uint8) < jnp.uint8(round(f * 256))
+    ).astype(jnp.uint8)
+    raw = jax.random.bits(kd, x.shape[:-1] + (half,), jnp.uint8)
+    keep_lo = (raw & jnp.uint8(15)) >= thr
+    keep_hi = (raw >> 4) >= thr
+    keep = jnp.concatenate([keep_lo, keep_hi], axis=-1)
+    scale = jnp.asarray(1.0 / (1.0 - rate), x.dtype)
+    return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bits4_dropout(x, key, rate):
+    return _apply4(x, key, rate)
+
+
+bits4_dropout.defvjp(lambda x, key, rate: (_apply4(x, key, rate), key),
+                     lambda rate, key, dy: (_apply4(dy, key, rate), None))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def bits8_dropout(x, key, rate):
     return _apply8(x, key, rate)
@@ -209,6 +254,8 @@ def dropout(x, key, rate: float):
         return mul_dropout(x, key, rate)
     if impl == "bits8":
         return bits8_dropout(x, key, rate)
+    if impl == "bits4":
+        return bits4_dropout(x, key, rate)
     if impl == "bits8_sign":
         return bits8_sign_dropout(x, key, rate)
     return bits_dropout(x, key, rate)
