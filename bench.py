@@ -68,7 +68,8 @@ def main():
     size = os.environ.get("BENCH_MODEL_SIZE", "large")
     # Throughput-optimal per-chip batch per size (measured, BASELINE.md;
     # large re-swept under the bits8 dropout impl).
-    default_batch = {"mini": 1024, "small": 512, "medium": 384, "large": 224}
+    # (large re-swept r3 after the kernel pad-pass removal: 288 > 224)
+    default_batch = {"mini": 1024, "small": 512, "medium": 384, "large": 288}
     batch_per_chip = int(
         os.environ.get("BENCH_BATCH_PER_CHIP", default_batch.get(size, 512))
     )

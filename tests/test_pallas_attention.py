@@ -140,3 +140,31 @@ def test_long_context_t1024():
     got = _interp_flash(q, k, v, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-5, rtol=1e-3)
+
+
+def test_o_residual_backward_matches_default():
+    """The flash-style rowsum(do*o) backward (WM_ATTN_O_RESIDUAL=1) must
+    produce the same gradients as the default rowsum(dw*w) form."""
+    from weathermodel_tpu.ops import pallas_attention as pa
+
+    pa.set_interpret(True)
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(2, 20, 24)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 20, 24)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 20, 24)), jnp.float32)
+
+    def loss(q, k, v):
+        out = pa.flash_attention(q, k, v, num_heads=4)
+        return jnp.sum(out * out)
+
+    try:
+        pa._USE_O_RESIDUAL = False
+        g0 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        pa._USE_O_RESIDUAL = True
+        g1 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        pa._USE_O_RESIDUAL = False
+        pa.set_interpret(False)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)

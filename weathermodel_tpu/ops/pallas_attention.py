@@ -47,6 +47,20 @@ import os
 _VMEM_BUDGET = int(os.environ.get("WM_ATTN_VMEM_BUDGET",
                                   10 * 1024 * 1024))
 _MAX_BLOCK_B = int(os.environ.get("WM_ATTN_MAX_BLOCK_B", 8))
+# Per-kernel scoped-VMEM ceiling (v5e has 128MB of VMEM; the default
+# scoped limit is 16MB and XLA_FLAGS can't be changed through axon, but
+# pallas can raise it PER KERNEL via CompilerParams). 0 = compiler default.
+_VMEM_LIMIT = int(os.environ.get("WM_ATTN_VMEM_LIMIT", 0))
+# Flash-style bwd row-delta rowsum(do*o) via a saved o residual: saves a
+# [Tp,Tp] mult+reduce per (b,h) but adds an input stream that exceeds the
+# DEFAULT 16MB scoped limit (23.1M) — requires WM_ATTN_VMEM_LIMIT.
+_USE_O_RESIDUAL = os.environ.get("WM_ATTN_O_RESIDUAL", "0") == "1"
+
+
+def _compiler_params():
+    if _VMEM_LIMIT <= 0:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _block_sizes(tp: int, h: int, itemsize: int):
@@ -167,18 +181,25 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_real,
     jax.lax.fori_loop(0, block_b, body, 0)
 
 
-def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, t_real, dropout_rate,
-                block_b, num_heads, hd):
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, *refs, scale, t_real,
+                dropout_rate, block_b, num_heads, hd, use_o=False):
     # Round-3 notes: the backward is VMEM-edge-critical (the 16MB scoped
-    # wall). Two restructures measured/attempted this round:
+    # wall). Restructures measured this round:
     #   * 2-stage MXU/VPU head pipeline (as in the forward): 48% SLOWER
     #     (15.9 vs 10.7 ms) — the extra live [Tp, Tp] scores buffer on top
-    #     of the 5 matmuls' temporaries stalls the schedule;
-    #   * flash-style rowsum(do*o) via a saved o residual: the extra
-    #     input stream pushed the scoped stack to 23.1M > 16M — OOM at
-    #     compile. Both reverted; only the pad-zeroing-pass removal
-    #     (exact, see _softmax_parts_from_scores) is kept here.
+    #     of the 5 matmuls' temporaries stalls the schedule; reverted.
+    #   * flash-style rowsum(do*o) via a saved o residual (use_o): saves a
+    #     [Tp,Tp] mult+reduce but the extra input stream needs 23.1M of
+    #     scoped VMEM > the default 16M — available via
+    #     WM_ATTN_O_RESIDUAL=1 + WM_ATTN_VMEM_LIMIT (per-kernel override).
+    # Only the pad-zeroing-pass removal (exact, see
+    # _softmax_parts_from_scores) is unconditional here.
+    if use_o:
+        y_ref, do_ref, dq_ref, dk_ref, dv_ref = refs
+    else:
+        y_ref = None
+        do_ref, dq_ref, dk_ref, dv_ref = refs
+
     def item(i, j):
         sl = slice(j * hd, (j + 1) * hd)
         q = q_ref[i, :, sl]                       # input dtype (bf16 hot path)
@@ -221,8 +242,17 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
         # rowsum ignores them; ds pad cols = -w_pad*rowsum are nonzero but
         # only ever multiply k's zero pad rows (dq) or land in dk/dv pad
         # rows, which the caller slices off.
-        rowsum = jnp.sum((dw * w).astype(jnp.float32), axis=-1,
-                         keepdims=True)
+        if y_ref is not None:
+            # rowsum(dw*w) == rowsum(do*o) exactly (w*dw = wd*dwd
+            # elementwise, then exchange the j/d sums): a [Tp, hd]
+            # product instead of a [Tp, Tp] mult+reduce.
+            o = y_ref[i, :, sl]
+            rowsum = jnp.sum(
+                do.astype(jnp.float32) * o.astype(jnp.float32),
+                axis=-1, keepdims=True)
+        else:
+            rowsum = jnp.sum((dw * w).astype(jnp.float32), axis=-1,
+                             keepdims=True)
         ds = w * (dw - rowsum)
         ds16 = ds.astype(dt)
         dq = jnp.dot(ds16, k, preferred_element_type=jnp.float32) * scale
@@ -274,6 +304,7 @@ def _attention_bth(q, k, v, seed, scale, t_real, dropout_rate, num_heads):
             bytes_accessed=4 * b * tp * h * 4,
             transcendentals=b * num_heads * tp * tp,
         ),
+        compiler_params=_compiler_params(),
         interpret=_INTERPRET,
     )(seed, q, k, v)
 
@@ -281,11 +312,18 @@ def _attention_bth(q, k, v, seed, scale, t_real, dropout_rate, num_heads):
 def _attention_fwd(q, k, v, seed, scale, t_real, dropout_rate, num_heads):
     out = _attention_bth(q, k, v, seed, scale, t_real, dropout_rate,
                          num_heads)
+    if _USE_O_RESIDUAL:
+        return out, (q, k, v, out, seed)
     return out, (q, k, v, seed)
 
 
 def _attention_bwd(scale, t_real, dropout_rate, num_heads, res, do):
-    q, k, v, seed = res
+    if _USE_O_RESIDUAL:
+        q, k, v, y, seed = res
+        extra = (y,)
+    else:
+        q, k, v, seed = res
+        extra = ()
     b, tp, h = q.shape
     hd = h // num_heads
     block_b = min(_block_sizes(tp, h, q.dtype.itemsize)[1], b)
@@ -293,13 +331,14 @@ def _attention_bwd(scale, t_real, dropout_rate, num_heads, res, do):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b // block_b,),
-        in_specs=[spec, spec, spec, spec],
+        in_specs=[spec] * (4 + len(extra)),
         out_specs=(spec, spec, spec),
     )
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, t_real=t_real,
                           dropout_rate=dropout_rate, block_b=block_b,
-                          num_heads=num_heads, hd=hd),
+                          num_heads=num_heads, hd=hd,
+                          use_o=_USE_O_RESIDUAL),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -311,8 +350,9 @@ def _attention_bwd(scale, t_real, dropout_rate, num_heads, res, do):
             bytes_accessed=7 * b * tp * h * 4,
             transcendentals=b * num_heads * tp * tp,
         ),
+        compiler_params=_compiler_params(),
         interpret=_INTERPRET,
-    )(seed, q, k, v, do)
+    )(seed, q, k, v, *extra, do)
     return dq, dk, dv, None
 
 
