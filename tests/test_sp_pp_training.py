@@ -157,3 +157,35 @@ def test_cli_pipeline_end_to_end(tmp_path):
     ])
     result = run(args)
     assert np.isfinite(result["best_val_loss"])
+
+
+def test_pipeline_weatherformer_elbo_matches_dp(params):
+    """PP also carries the variational (mu, var) head: ELBO training on
+    the pipelined WeatherFormer == pure DP."""
+    from weathermodel_tpu.models import WeatherFormer
+    from weathermodel_tpu.train.pipeline_step import make_pipelined_model
+
+    model = WeatherFormer(CFG)
+    b = _batch()
+    fparams = model.init(jax.random.PRNGKey(1), b.weather, b.coords,
+                         b.year, b.interval, np.zeros((B, T, F), bool))
+
+    def losses(model_or_shim, mesh):
+        tx = make_optimizer()
+        step = compile_step(
+            make_train_step(model_or_shim, "elbo", "weatherformer",
+                            tx=tx), mesh)
+        state = jax.device_put(create_train_state(fparams),
+                               replicated_sharding(mesh))
+        batch = shard_batch(mesh, b)
+        out = []
+        for i in range(3):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i),
+                                  np.float32(1e-3), np.int32(3))
+            out.append(float(metrics["total_loss"]))
+        return out
+
+    dp = losses(model, make_mesh(8, 1))
+    pp_mesh = make_mesh(2, 4)
+    pp = losses(make_pipelined_model(model, pp_mesh, n_micro=2), pp_mesh)
+    np.testing.assert_allclose(pp, dp, rtol=2e-4)
