@@ -173,8 +173,12 @@ def _apply4(x, key, rate):
     f = rate * 16 - t
     kd, kt = jax.random.split(key)
     rows = x.shape[:-1] + (1,)
+    # u16 dither words so the Bernoulli(f) itself is 2^-16-granular —
+    # E[drop] = rate to ~1e-6 (u8 dither words would quantize f to 1/256,
+    # a 1e-4 rate bias); the row tensor is minor, the cost negligible
     thr = jnp.uint8(t) + (
-        jax.random.bits(kt, rows, jnp.uint8) < jnp.uint8(round(f * 256))
+        jax.random.bits(kt, rows, jnp.uint16)
+        < jnp.uint16(round(f * 65536))
     ).astype(jnp.uint8)
     raw = jax.random.bits(kd, x.shape[:-1] + (half,), jnp.uint8)
     keep_lo = (raw & jnp.uint8(15)) >= thr
