@@ -152,6 +152,8 @@ def test_cli_pipeline_end_to_end(tmp_path):
         "--model", "weatherbert", "--model-size", "mini",
         "--n-epochs", "2", "--batch-size", "16", "--n-warmup-epochs", "1",
         "--data-dir", d, "--compute-dtype", "float32",
+        "--attention-impl", "xla",  # pallas is TPU-only; the PP shim
+        # forwards the model's impl into its stages
         "--pipeline-stages", "2", "--pipeline-microbatches", "2",
         "--workdir", str(tmp_path / "run_pp"),
     ])

@@ -178,7 +178,8 @@ def _apply4(x, key, rate):
     # a 1e-4 rate bias); the row tensor is minor, the cost negligible
     thr = jnp.uint8(t) + (
         jax.random.bits(kt, rows, jnp.uint16)
-        < jnp.uint16(round(f * 65536))
+        # min() guards f ~ 1.0: round(f*65536) == 65536 would wrap uint16
+        < jnp.uint16(min(round(f * 65536), 65535))
     ).astype(jnp.uint8)
     raw = jax.random.bits(kd, x.shape[:-1] + (half,), jnp.uint8)
     keep_lo = (raw & jnp.uint8(15)) >= thr

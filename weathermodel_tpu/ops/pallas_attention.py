@@ -123,7 +123,14 @@ def _softmax_parts_from_scores(scores, t_real):
     e = jnp.exp(scores - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
     if t_real < tp:
-        s = s - (tp - t_real) * jnp.exp(-m)
+        pad_term = (tp - t_real) * jnp.exp(-m)
+        # Cancellation guard: when EVERY real logit of a row is << -m the
+        # true real-column sum sits below the subtraction's f32 noise
+        # floor (~pad_term * 2^-22 per summand); flooring s there keeps
+        # recip bounded — such a row's weights land near zero instead of
+        # garbage/sign-flip. Rows with any real logit within ~15 nats of
+        # the max are exact as before.
+        s = jnp.maximum(s - pad_term, pad_term * 1e-6)
     # +tiny guards the degenerate all-masked/underflowed-row case
     recip = 1.0 / (s + 1e-30)
     return e, recip

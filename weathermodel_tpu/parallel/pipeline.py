@@ -72,20 +72,16 @@ def _pipeline_local(stage_params, micro, seed, axis, stage_fn, n_micro,
         n = n_stages
         buf_next = jax.lax.ppermute(
             y, axis, [(i, (i + 1) % n) for i in range(n)])
-        # the LAST stage emitted microbatch (t - (n_stages-1)) at tick t
+        # the LAST stage emitted microbatch (t - (n_stages-1)) at tick t;
+        # record it LOCALLY (zeros elsewhere) — one psum after the scan
+        # replicates the result over the stage axis instead of paying a
+        # collective per tick
         emit_idx = t - (n_stages - 1)
         valid = (emit_idx >= 0) & (emit_idx < n_micro)
-        # gather the last stage's y on every device (cheap for tests;
-        # production would reduce-scatter) via psum of a one-hot carrier
-        y_last = jax.lax.psum(
-            jnp.where(s == n_stages - 1, y, jnp.zeros_like(y)), axis)
-        outs = jax.lax.cond(
-            valid,
-            lambda o: jax.lax.dynamic_update_index_in_dim(
-                o, y_last, jnp.maximum(emit_idx, 0), axis=0),
-            lambda o: o,
-            outs,
-        )
+        y_mine = jnp.where((s == n_stages - 1) & valid, y,
+                           jnp.zeros_like(y))
+        outs = jax.lax.dynamic_update_index_in_dim(
+            outs, y_mine, jnp.clip(emit_idx, 0, n_micro - 1), axis=0)
         return (buf_next, outs), None
 
     n_ticks = n_micro + (n_stages - 1)
@@ -93,7 +89,7 @@ def _pipeline_local(stage_params, micro, seed, axis, stage_fn, n_micro,
     outs0 = jnp.zeros_like(micro)
     (_, outs), _ = jax.lax.scan(
         tick, (buf0, outs0), jnp.arange(n_ticks))
-    return outs
+    return jax.lax.psum(outs, axis)
 
 
 def make_pipeline(mesh, axis: str, stage_fn, n_micro: int,

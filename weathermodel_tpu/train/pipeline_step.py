@@ -60,6 +60,19 @@ def make_pipelined_model(model, mesh, n_micro: int = 4):
     path (the pallas kernel composes with PP too, but XLA keeps the
     CPU-mesh validation path runnable everywhere).
     """
+    from weathermodel_tpu.models.weatherformer import (
+        WeatherFormerMixture,
+        WeatherFormerSinusoid,
+    )
+
+    if isinstance(model, (WeatherFormerSinusoid, WeatherFormerMixture)):
+        # their prior heads (outputs[2:]) are not computed by this shim;
+        # falling through to the plain (mu, var) head would break the
+        # elbo_sinusoid/elbo_mixture objectives at trace time
+        raise ValueError(
+            "pipeline path supports WeatherBERT/WeatherFormer; the "
+            "sinusoid/mixture prior heads are not pipelined yet"
+        )
     if isinstance(model, WeatherFormer):
         head = "former"
     elif isinstance(model, WeatherBERT):
@@ -78,9 +91,19 @@ def make_pipelined_model(model, mesh, n_micro: int = 4):
         )
     group = cfg.num_layers // n_stages
     dtype = jnp.dtype(cfg.compute_dtype)
-    layer_mod = TransformerEncoderLayer(
+    # carry the model's attention/FFN impls and remat into the stages
+    # ("ring" can't nest inside the pipeline's shard_map -> xla)
+    attn_impl = getattr(model, "attention_impl", "xla")
+    if attn_impl == "ring":
+        attn_impl = "xla"
+    layer_cls = TransformerEncoderLayer
+    if getattr(model, "remat", False):
+        import flax.linen as nn
+
+        layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(3,))
+    layer_mod = layer_cls(
         cfg.hidden_dim, cfg.num_heads, cfg.ffn_dim, cfg.dropout_rate,
-        "xla", dtype,
+        attn_impl, dtype, getattr(model, "ffn_impl", "xla"),
     )
 
     def stage_fn(stage_params, x, micro_idx, seed, *, deterministic):
@@ -113,9 +136,14 @@ def make_pipelined_model(model, mesh, n_micro: int = 4):
             raise ValueError("pipeline path takes no key padding mask")
         p = params["params"]
         b, t, _ = weather.shape
-        if b % n_micro != 0:
+        n_data = mesh.shape[DATA_AXIS]
+        if b % (n_micro * n_data) != 0:
             raise ValueError(
-                f"batch {b} not divisible by n_micro={n_micro}")
+                f"batch {b} not divisible by n_micro*data_axis = "
+                f"{n_micro}*{n_data}")
+        if t > cfg.max_len:
+            raise ValueError(
+                f"sequence length {t} exceeds max_len={cfg.max_len}")
 
         # --- preamble (mirrors WeatherEncoderCore / reference
         # weatherbert.py:84-115; in_proj + PE params shared verbatim) ---
