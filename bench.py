@@ -162,11 +162,16 @@ def main():
     flops_per_sample = analytic_flops_per_sample(cfg, mode)
     tflops = per_chip * flops_per_sample / 1e12
     mfu = tflops / V5E_BF16_PEAK_TFLOPS
+    # the estimated PyTorch denominator is a TRAIN-throughput estimate;
+    # quoting it against the forward-only eval path would inflate the
+    # ratio ~3x — eval reports absolute numbers only
+    vs_baseline = (round(per_chip / PYTORCH_GPU_BASELINE[size], 3)
+                   if mode != "eval" else None)
     print(json.dumps({
         "metric": f"{metric_kind}_samples_per_sec_per_chip_{model_tag}_{size}",
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(per_chip / PYTORCH_GPU_BASELINE[size], 3),
+        "vs_baseline": vs_baseline,
         "tflops": round(tflops, 2),
         "mfu": round(mfu, 4),
         "flops_per_sample": flops_per_sample,
