@@ -54,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="chunk-store root (default: WEATHERMODEL_DATA_DIR)")
     p.add_argument("--workdir", default="checkpoints/pretraining")
     p.add_argument("--attention-impl", default="pallas",
-                   choices=("pallas", "xla"),
+                   choices=("pallas", "pallas_qkv", "xla"),
                    help="--attention-impl xla disables the fused kernel "
                         "(numerics debugging; reference = stock torch)")
     p.add_argument("--compute-dtype", default="bfloat16",

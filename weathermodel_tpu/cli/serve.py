@@ -34,7 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "year/interval/mask)")
     p.add_argument("--output", required=True, help="output .npz path")
     p.add_argument("--attention-impl", default="pallas",
-                   choices=("pallas", "xla"))
+                   choices=("pallas", "pallas_qkv", "xla"))
     p.add_argument("--batch-size", default=256, type=int,
                    help="max padding bucket (see serve.DEFAULT_BUCKETS)")
     return p

@@ -106,7 +106,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-optimal-lr", action="store_true")
     p.add_argument("--data-dir", default=None)
     p.add_argument("--attention-impl", default="pallas",
-                   choices=("pallas", "xla"))
+                   choices=("pallas", "pallas_qkv", "xla"))
     p.add_argument("--compute-dtype", default="float32",
                    choices=("bfloat16", "float32"))
     p.add_argument("--seed", default=1234, type=int)

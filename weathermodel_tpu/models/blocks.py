@@ -72,12 +72,44 @@ class SelfAttention(nn.Module):
     hidden_dim: int
     num_heads: int
     dropout_rate: float = 0.1
-    attention_impl: str = "xla"  # "xla" | "pallas" | "ring" (seq-parallel)
+    # "xla" | "pallas" | "pallas_qkv" (QKV projection fused INTO the
+    # attention kernel) | "ring" (seq-parallel)
+    attention_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
         h, nh = self.hidden_dim, self.num_heads
+
+        if self.attention_impl == "pallas_qkv":
+            # Same parameter tree as the nn.Dense path (checkpoints
+            # interop); the projection runs inside the attention kernel.
+            wk, wb = DenseParams(3 * h, h, name="qkv_proj")()
+            rate = 0.0 if deterministic else self.dropout_rate
+            if key_padding_mask is None:
+                from weathermodel_tpu.ops.pallas_attention import (
+                    flash_attention_fused,
+                )
+
+                seed = _dropout_seed(self) if rate > 0.0 else None
+                out = flash_attention_fused(
+                    x.astype(self.dtype), wk.astype(self.dtype),
+                    wb.astype(self.dtype), num_heads=nh,
+                    dropout_rate=rate, dropout_seed=seed,
+                )
+            else:
+                # masked sequences use the XLA path (same params)
+                qkv = (x.astype(self.dtype) @ wk.astype(self.dtype)
+                       + wb.astype(self.dtype))
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                rng = (self.make_rng("dropout") if rate > 0.0 else None)
+                out = multi_head_attention(
+                    q, k, v, num_heads=nh,
+                    key_padding_mask=key_padding_mask,
+                    dropout_rate=rate, dropout_rng=rng, impl="xla",
+                )
+            return torch_dense(h, h, name="out_proj", dtype=self.dtype)(out)
+
         qkv = torch_dense(3 * h, h, name="qkv_proj", dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 

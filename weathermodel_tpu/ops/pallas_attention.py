@@ -148,15 +148,17 @@ def _dropout_mask(shape, rate):
     return pltpu.bitcast(bits, jnp.uint32) < threshold
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_real,
-                dropout_rate, block_b, num_heads, hd):
+def _fwd_body(seed_ref, o_ref, q_at, k_at, v_at, *, scale, t_real,
+              dropout_rate, block_b, num_heads, hd, pre_row=None):
+    """Shared forward row loop. q_at/k_at/v_at(i, j) yield one head's
+    [Tp, hd] operands; pre_row(i) (fused-QKV variant) runs before the head
+    pipeline of row i."""
     def head_scores(i, j):
-        sl = slice(j * hd, (j + 1) * hd)
-        return _scores(q_ref[i, :, sl] * scale, k_ref[i, :, sl])
+        return _scores(q_at(i, j) * scale, k_at(i, j))
 
     def head_finish(i, j, scores):
         sl = slice(j * hd, (j + 1) * hd)
-        v = v_ref[i, :, sl]
+        v = v_at(i, j)
         e, recip = _softmax_parts_from_scores(scores, t_real)
         if dropout_rate > 0.0:
             pltpu.prng_seed(seed_ref[0]
@@ -178,6 +180,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_real,
         # j+1's QK^T (MXU) ahead of head j's softmax/dropout (VPU) so the
         # two units overlap — the round-2 no-exp probe showed ~25% of fwd
         # time was UNHIDDEN VPU work behind a serial per-head chain.
+        if pre_row is not None:
+            pre_row(i)
         sc = head_scores(i, 0)
         for j in range(num_heads):
             nxt = head_scores(i, j + 1) if j + 1 < num_heads else None
@@ -186,6 +190,52 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_real,
         return 0
 
     jax.lax.fori_loop(0, block_b, body, 0)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_real,
+                dropout_rate, block_b, num_heads, hd):
+    def at(ref):
+        return lambda i, j: ref[i, :, j * hd:(j + 1) * hd]
+
+    _fwd_body(seed_ref, o_ref, at(q_ref), at(k_ref), at(v_ref),
+              scale=scale, t_real=t_real, dropout_rate=dropout_rate,
+              block_b=block_b, num_heads=num_heads, hd=hd)
+
+
+def _fused_fwd_kernel(seed_ref, x_ref, w_ref, b_ref, o_ref, qkv_ref, *,
+                      scale, t_real, dropout_rate, block_b, num_heads, hd):
+    """QKV-projection + attention in one kernel. Reads the residual stream
+    x [block_b, Tp, H] and the packed projection W [H, 3H] / bias [1, 3H];
+    materializes qkv ONCE (as this kernel's second output, consumed by the
+    unchanged backward) instead of the XLA path's matmul-write + split +
+    pad-copy chain. Pad-row handling: x pad rows are exact zeros, so
+    x @ W has zero pad rows; the bias is added under a row < t_real mask,
+    keeping k/v pad rows exactly zero — the closed-form softmax pad
+    correction and the zero-pad-AV argument carry over unchanged."""
+    tp = x_ref.shape[1]
+    h = x_ref.shape[2]
+
+    def project(i):
+        qkv = jax.lax.dot_general(
+            x_ref[i], w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        bias = b_ref[...].astype(jnp.float32)       # [1, 3H]
+        if t_real < tp:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+            qkv = qkv + jnp.where(rows < t_real, bias, 0.0)
+        else:
+            qkv = qkv + bias
+        qkv_ref[i] = qkv.astype(qkv_ref.dtype)
+
+    def at(part):
+        off = part * h
+        return lambda i, j: qkv_ref[i, :, off + j * hd:off + (j + 1) * hd]
+
+    _fwd_body(seed_ref, o_ref, at(0), at(1), at(2),
+              scale=scale, t_real=t_real, dropout_rate=dropout_rate,
+              block_b=block_b, num_heads=num_heads, hd=hd,
+              pre_row=project)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, *refs, scale, t_real,
@@ -209,67 +259,110 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, *refs, scale, t_real,
 
     def item(i, j):
         sl = slice(j * hd, (j + 1) * hd)
-        q = q_ref[i, :, sl]                       # input dtype (bf16 hot path)
-        k = k_ref[i, :, sl]
-        v = v_ref[i, :, sl]
-        do = do_ref[i, :, sl]
-        dt = q.dtype
-        qs = q * scale
-        e, recip = _softmax_parts(qs, k, t_real)
-        w = e * recip                               # pre-dropout softmax, f32
-        # (A "fused" rewrite ds = wd*dwd - e*(recip*rowsum) that avoids
-        # materializing w/dw measured SLOWER — 10.38 -> 10.71 ms — Mosaic
-        # already fuses these chains; keep the straightforward form.)
-
-        if dropout_rate > 0.0:
-            # identical PRNG stream as the forward pass
-            pltpu.prng_seed(seed_ref[0]
-                            + (pl.program_id(0) * block_b + i) * num_heads
-                            + j)
-            keep = _dropout_mask(w.shape, dropout_rate)
-            inv_keep = 1.0 / (1.0 - dropout_rate)
-            wd16 = jnp.where(keep, w * inv_keep,
-                             jnp.zeros([], w.dtype)).astype(dt)
-        else:
-            wd16 = w.astype(dt)
-
-        dv = jax.lax.dot_general(                   # wd^T @ do
-            wd16, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dwd = jax.lax.dot_general(                  # do @ v^T
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if dropout_rate > 0.0:
-            dw = jnp.where(keep, dwd * inv_keep, jnp.zeros([], dwd.dtype))
-        else:
-            dw = dwd
-        # dw's pad cols are exact zeros (v pad rows are zeros), so the
-        # rowsum ignores them; ds pad cols = -w_pad*rowsum are nonzero but
-        # only ever multiply k's zero pad rows (dq) or land in dk/dv pad
-        # rows, which the caller slices off.
-        if y_ref is not None:
-            # rowsum(dw*w) == rowsum(do*o) exactly (w*dw = wd*dwd
-            # elementwise, then exchange the j/d sums): a [Tp, hd]
-            # product instead of a [Tp, Tp] mult+reduce.
-            o = y_ref[i, :, sl]
-            rowsum = jnp.sum(
-                do.astype(jnp.float32) * o.astype(jnp.float32),
-                axis=-1, keepdims=True)
-        else:
-            rowsum = jnp.sum((dw * w).astype(jnp.float32), axis=-1,
-                             keepdims=True)
-        ds = w * (dw - rowsum)
-        ds16 = ds.astype(dt)
-        dq = jnp.dot(ds16, k, preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(                   # ds^T @ (q * scale)
-            ds16, qs, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        dq, dk, dv = _bwd_head_math(
+            q_ref[i, :, sl], k_ref[i, :, sl], v_ref[i, :, sl],
+            do_ref[i, :, sl],
+            seed_fn=lambda: (seed_ref[0]
+                             + (pl.program_id(0) * block_b + i)
+                             * num_heads + j),
+            scale=scale, t_real=t_real, dropout_rate=dropout_rate,
+            o=None if y_ref is None else y_ref[i, :, sl],
         )
         dq_ref[i, :, sl] = dq.astype(dq_ref.dtype)
         dk_ref[i, :, sl] = dk.astype(dk_ref.dtype)
         dv_ref[i, :, sl] = dv.astype(dv_ref.dtype)
+
+    def body(i, _):
+        for j in range(num_heads):
+            item(i, j)
+        return 0
+
+    jax.lax.fori_loop(0, block_b, body, 0)
+
+
+def _bwd_head_math(q, k, v, do, *, seed_fn, scale, t_real, dropout_rate,
+                   o=None):
+    """One (row, head)'s attention backward: [Tp, hd] operands in the input
+    dtype -> (dq, dk, dv) f32. seed_fn() must reproduce the forward's exact
+    per-(row, head) PRNG seed; it is only evaluated when dropout_rate > 0
+    (pl.program_id is TPU-only in interpret mode)."""
+    dt = q.dtype
+    qs = q * scale
+    e, recip = _softmax_parts(qs, k, t_real)
+    w = e * recip                               # pre-dropout softmax, f32
+    # (A "fused" rewrite ds = wd*dwd - e*(recip*rowsum) that avoids
+    # materializing w/dw measured SLOWER — 10.38 -> 10.71 ms — Mosaic
+    # already fuses these chains; keep the straightforward form.)
+
+    if dropout_rate > 0.0:
+        # identical PRNG stream as the forward pass
+        pltpu.prng_seed(seed_fn())
+        keep = _dropout_mask(w.shape, dropout_rate)
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        wd16 = jnp.where(keep, w * inv_keep,
+                         jnp.zeros([], w.dtype)).astype(dt)
+    else:
+        wd16 = w.astype(dt)
+
+    dv = jax.lax.dot_general(                   # wd^T @ do
+        wd16, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwd = jax.lax.dot_general(                  # do @ v^T
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if dropout_rate > 0.0:
+        dw = jnp.where(keep, dwd * inv_keep, jnp.zeros([], dwd.dtype))
+    else:
+        dw = dwd
+    # dw's pad cols are exact zeros (v pad rows are zeros), so the
+    # rowsum ignores them; ds pad cols = -w_pad*rowsum are nonzero but
+    # only ever multiply k's zero pad rows (dq) or land in dk/dv pad
+    # rows, which the caller slices off (or zeroes before any row
+    # reduction — see the fused-QKV bias gradient).
+    if o is not None:
+        # rowsum(dw*w) == rowsum(do*o) exactly (w*dw = wd*dwd
+        # elementwise, then exchange the j/d sums): a [Tp, hd]
+        # product instead of a [Tp, Tp] mult+reduce.
+        rowsum = jnp.sum(
+            do.astype(jnp.float32) * o.astype(jnp.float32),
+            axis=-1, keepdims=True)
+    else:
+        rowsum = jnp.sum((dw * w).astype(jnp.float32), axis=-1,
+                         keepdims=True)
+    ds = w * (dw - rowsum)
+    ds16 = ds.astype(dt)
+    dq = jnp.dot(ds16, k, preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(                   # ds^T @ (q * scale)
+        ds16, qs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dq, dk, dv
+
+
+def _bwd_kernel_qkv(seed_ref, qkv_ref, do_ref, dqkv_ref, *, scale, t_real,
+                    dropout_rate, block_b, num_heads, hd, h):
+    """Backward over the PACKED qkv layout ([block_b, Tp, 3H] in/out) the
+    fused-QKV forward emits — same math as _bwd_kernel, one input stream
+    and one output stream instead of three of each."""
+    def item(i, j):
+        sl = slice(j * hd, (j + 1) * hd)
+        dq, dk, dv = _bwd_head_math(
+            qkv_ref[i, :, j * hd:(j + 1) * hd],
+            qkv_ref[i, :, h + j * hd:h + (j + 1) * hd],
+            qkv_ref[i, :, 2 * h + j * hd:2 * h + (j + 1) * hd],
+            do_ref[i, :, sl],
+            seed_fn=lambda: (seed_ref[0]
+                             + (pl.program_id(0) * block_b + i)
+                             * num_heads + j),
+            scale=scale, t_real=t_real, dropout_rate=dropout_rate,
+        )
+        dqkv_ref[i, :, j * hd:(j + 1) * hd] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[i, :, h + j * hd:h + (j + 1) * hd] = dk.astype(
+            dqkv_ref.dtype)
+        dqkv_ref[i, :, 2 * h + j * hd:2 * h + (j + 1) * hd] = dv.astype(
+            dqkv_ref.dtype)
 
     def body(i, _):
         for j in range(num_heads):
@@ -364,6 +457,165 @@ def _attention_bwd(scale, t_real, dropout_rate, num_heads, res, do):
 
 
 _attention_bth.defvjp(_attention_fwd, _attention_bwd)
+
+
+# --- fused QKV-projection + attention (round 3) ----------------------------
+# The XLA path around the plain kernel costs one matmul WRITE of qkv
+# [B, T, 3H] plus a split+pad COPY chain (read 3H, write 3 padded H
+# buffers) per layer before the kernel even reads its operands. Computing
+# the projection inside the forward kernel removes both: the kernel
+# streams x [B, Tp, H] (1/3 the bytes of q+k+v) and the weights once, and
+# materializes qkv exactly once — as its second output, which the
+# backward (unchanged math, packed layout) consumes directly.
+
+
+def _fused_block_sizes(tp: int, h: int, itemsize: int):
+    per_row = tp * h * itemsize
+    w_bytes = 2 * 3 * h * h * itemsize             # double-buffered [H, 3H]
+    avail = max(_VMEM_BUDGET - w_bytes, 10 * per_row)
+    bf = max(1, avail // (10 * per_row))           # x + o + 3x qkv, x2
+    bf = min(1 << (bf.bit_length() - 1), _MAX_BLOCK_B)
+    bb = min(_block_sizes(tp, h, itemsize)[1], bf)
+    return bf, bb
+
+
+def _qkv_spec(tp, h, block_b):
+    return pl.BlockSpec((block_b, tp, 3 * h), lambda i, *_: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fused_call(x, w, b, seed, scale, t_real, dropout_rate, num_heads):
+    bsz, tp, h = x.shape
+    hd = h // num_heads
+    block_b = min(_fused_block_sizes(tp, h, x.dtype.itemsize)[0], bsz)
+    spec = _b_spec(tp, h, block_b)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz // block_b,),
+        in_specs=[
+            spec,
+            pl.BlockSpec((h, 3 * h), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * h), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(spec, _qkv_spec(tp, h, block_b)),
+    )
+    return pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, scale=scale, t_real=t_real,
+                          dropout_rate=dropout_rate, block_b=block_b,
+                          num_heads=num_heads, hd=hd),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((bsz, tp, 3 * h), x.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bsz * num_heads * tp * tp * hd
+            + 6 * bsz * tp * h * h,
+            bytes_accessed=(5 * bsz * tp * h + 3 * h * h) * 4,
+            transcendentals=bsz * num_heads * tp * tp,
+        ),
+        compiler_params=_compiler_params(),
+        interpret=_INTERPRET,
+    )(seed, x, w, b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _attention_fused_bth(x, w, b, seed, scale, t_real, dropout_rate,
+                         num_heads):
+    """x: [B, Tp, H] (zero row/batch pads); w: [H, 3H]; b: [1, 3H];
+    returns the attention output [B, Tp, H]."""
+    o, _ = _fused_call(x, w, b, seed, scale, t_real, dropout_rate,
+                       num_heads)
+    return o
+
+
+def _attention_fused_fwd(x, w, b, seed, scale, t_real, dropout_rate,
+                         num_heads):
+    o, qkv = _fused_call(x, w, b, seed, scale, t_real, dropout_rate,
+                         num_heads)
+    return o, (x, w, qkv, seed)
+
+
+def _attention_fused_bwd(scale, t_real, dropout_rate, num_heads, res, do):
+    x, w, qkv, seed = res
+    bsz, tp, h = x.shape
+    hd = h // num_heads
+    block_b = min(_fused_block_sizes(tp, h, x.dtype.itemsize)[1], bsz)
+    spec = _b_spec(tp, h, block_b)
+    qspec = _qkv_spec(tp, h, block_b)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz // block_b,),
+        in_specs=[qspec, spec],
+        out_specs=qspec,
+    )
+    dqkv = pl.pallas_call(
+        functools.partial(_bwd_kernel_qkv, scale=scale, t_real=t_real,
+                          dropout_rate=dropout_rate, block_b=block_b,
+                          num_heads=num_heads, hd=hd, h=h),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, tp, 3 * h), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bsz * num_heads * tp * tp * hd,
+            bytes_accessed=7 * bsz * tp * h * 4,
+            transcendentals=bsz * num_heads * tp * tp,
+        ),
+        compiler_params=_compiler_params(),
+        interpret=_INTERPRET,
+    )(seed, qkv, do)
+    # Pad-row bookkeeping: dqkv's row pads carry garbage (ds pad columns),
+    # but (a) dx's pad rows are sliced off by the caller's jnp.pad vjp,
+    # (b) dw is exact because x's pad rows/batch items are exact zeros,
+    # (c) db sums REAL rows only. Batch-pad items have do == 0, hence
+    # dqkv == 0 exactly.
+    dx = jax.lax.dot_general(
+        dqkv, w, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    dw = jax.lax.dot_general(
+        x, dqkv, (((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    db = jnp.sum(
+        dqkv[:, :t_real].astype(jnp.float32), axis=(0, 1), keepdims=False
+    ).reshape(1, -1).astype(w.dtype)
+    return dx, dw, db, None
+
+
+_attention_fused_bth.defvjp(_attention_fused_fwd, _attention_fused_bwd)
+
+
+def flash_attention_fused(x, w, b, *, num_heads, dropout_rate: float = 0.0,
+                          dropout_seed=None):
+    """Fused QKV-projection + attention: equivalent to
+    flash_attention(*split(x @ w + b, 3), ...) with one kernel doing the
+    projection and the attention. x: [B, T, H]; w: [H, 3H]; b: [3H];
+    returns [B, T, H]. Same in-kernel dropout PRNG stream as
+    flash_attention (seeds are global-row-indexed, block-size invariant)."""
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    bsz, t, h = x.shape
+    if h % num_heads != 0:
+        raise ValueError(f"hidden {h} not divisible by heads {num_heads}")
+    hd = h // num_heads
+    tp = _pad_len(t)
+    scale = 1.0 / (hd ** 0.5)
+
+    b_pad = (-bsz) % _fused_block_sizes(tp, h, x.dtype.itemsize)[0]
+    if tp != t or b_pad:
+        x = jnp.pad(x, ((0, b_pad), (0, tp - t), (0, 0)))
+
+    if dropout_seed is None:
+        seed = jnp.zeros((1,), dtype=jnp.int32)
+    else:
+        seed = jnp.reshape(dropout_seed, (1,)).astype(jnp.int32)
+
+    out = _attention_fused_bth(
+        x, w.astype(x.dtype), jnp.reshape(b, (1, -1)).astype(x.dtype),
+        seed, scale, t, float(dropout_rate), num_heads)
+    return out[:bsz, :t, :]
 
 
 def flash_attention(q, k, v, *, num_heads, key_padding_mask=None,
