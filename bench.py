@@ -74,11 +74,14 @@ def main():
         os.environ.get("BENCH_BATCH_PER_CHIP", default_batch.get(size, 512))
     )
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
-    attention_impl = os.environ.get("BENCH_ATTENTION", "pallas")
+    from weathermodel_tpu.ops.attention import resolve_attention_impl
+
+    attention_impl = os.environ.get("BENCH_ATTENTION", "auto")
     # "masked_mse" (WeatherBERT) or "elbo" (WeatherFormer variational step)
     objective = os.environ.get("BENCH_OBJECTIVE", "masked_mse")
     # "train" (full step) or "eval" (forward-only, the serving path)
     mode = os.environ.get("BENCH_MODE", "train")
+    attention_impl = resolve_attention_impl(attention_impl, size, mode)
 
     n_chips = len(jax.devices())
     mesh = make_mesh()  # all chips on 'data'

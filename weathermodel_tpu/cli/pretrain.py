@@ -53,8 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-dir", default=None,
                    help="chunk-store root (default: WEATHERMODEL_DATA_DIR)")
     p.add_argument("--workdir", default="checkpoints/pretraining")
-    p.add_argument("--attention-impl", default="pallas",
-                   choices=("pallas", "pallas_qkv", "xla"),
+    p.add_argument("--attention-impl", default="auto",
+                   choices=("auto", "pallas", "pallas_qkv", "xla"),
                    help="--attention-impl xla disables the fused kernel "
                         "(numerics debugging; reference = stock torch)")
     p.add_argument("--compute-dtype", default="bfloat16",
@@ -182,7 +182,10 @@ def run(args: argparse.Namespace) -> dict:
     def make_loaders(split, shuffle, seed):
         return pretrain_batches(split, dcfg, shuffle=shuffle, seed=seed)
 
-    attention_impl = args.attention_impl
+    from weathermodel_tpu.ops.attention import resolve_attention_impl
+
+    attention_impl = resolve_attention_impl(args.attention_impl,
+                                            args.model_size)
     if args.seq_parallel > 1:
         attention_impl = "ring"  # sequence-parallel exact ring attention
     model = make_model(args.model, mcfg, attention_impl,

@@ -33,8 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help=".npz with weather [N,T,F] (+ optional coords/"
                         "year/interval/mask)")
     p.add_argument("--output", required=True, help="output .npz path")
-    p.add_argument("--attention-impl", default="pallas",
-                   choices=("pallas", "pallas_qkv", "xla"))
+    p.add_argument("--attention-impl", default="auto",
+                   choices=("auto", "pallas", "pallas_qkv", "xla"))
     p.add_argument("--batch-size", default=256, type=int,
                    help="max padding bucket (see serve.DEFAULT_BUCKETS)")
     return p
@@ -55,6 +55,7 @@ def run(args: argparse.Namespace) -> dict:
         mask = (np.asarray(z["mask"], bool) if "mask" in z
                 else np.zeros((n, t, f), bool))
 
+    from weathermodel_tpu.ops.attention import resolve_attention_impl
     from weathermodel_tpu.serve import DEFAULT_BUCKETS
 
     # cap the padding buckets at --batch-size (memory-constrained chips)
@@ -62,7 +63,9 @@ def run(args: argparse.Namespace) -> dict:
     buckets = buckets + (args.batch_size,)
     predictor = load_weather_predictor(
         args.checkpoint, model_size=args.model_size, model_name=args.model,
-        attention_impl=args.attention_impl, max_len=t, buckets=buckets,
+        attention_impl=resolve_attention_impl(
+            args.attention_impl, args.model_size, mode="eval"),
+        max_len=t, buckets=buckets,
     )
     outputs = predictor(weather, coords, year, interval,
                         weather_feature_mask=mask)

@@ -9,6 +9,7 @@ import logging
 from typing import Optional
 
 from weathermodel_tpu.utils.config import TrainConfig, model_config_for_size
+from weathermodel_tpu.ops.attention import resolve_attention_impl
 
 logger = logging.getLogger(__name__)
 
@@ -105,8 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cross-validation-k", default=5, type=int)
     p.add_argument("--use-optimal-lr", action="store_true")
     p.add_argument("--data-dir", default=None)
-    p.add_argument("--attention-impl", default="pallas",
-                   choices=("pallas", "pallas_qkv", "xla"))
+    p.add_argument("--attention-impl", default="auto",
+                   choices=("auto", "pallas", "pallas_qkv", "xla"))
     p.add_argument("--compute-dtype", default="float32",
                    choices=("bfloat16", "float32"))
     p.add_argument("--seed", default=1234, type=int)
@@ -186,7 +187,8 @@ def run(args) -> dict:
     else:
         def make_model():
             return model_cls(mcfg, n_past_years=args.n_past_years,
-                             attention_impl=args.attention_impl)
+                             attention_impl=resolve_attention_impl(
+                                 args.attention_impl, args.model_size))
 
     pretrained = None
     if args.pretrained_model_path:

@@ -41,6 +41,21 @@ def _xla_attention(q, k, v, num_heads, key_padding_mask, dropout_rate,
     return out.reshape(b, t, h)
 
 
+def resolve_attention_impl(impl: str, model_size=None,
+                           mode: str = "train") -> str:
+    """Resolve impl="auto" to the measured-best kernel for the geometry
+    (BASELINE.md round-3 tables): the fused QKV+attention kernel
+    ("pallas_qkv") for inference at every size and for medium/large
+    training; the plain fused-attention kernel ("pallas") for small/mini
+    training, where the models are VPU-bound and the in-kernel projection
+    measured ~2-13% slower."""
+    if impl != "auto":
+        return impl
+    if mode == "eval" or model_size in ("medium", "large"):
+        return "pallas_qkv"
+    return "pallas"
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -484,7 +484,11 @@ def _qkv_spec(tp, h, block_b):
                         memory_space=pltpu.VMEM)
 
 
-def _fused_call(x, w, b, seed, scale, t_real, dropout_rate, num_heads):
+def _fused_call(x, w, b, seed, scale, t_real, dropout_rate, num_heads,
+                emit_qkv):
+    """emit_qkv=True materializes qkv to HBM as a second output (the
+    backward's residual). The primal/inference path passes False: qkv then
+    lives only in a VMEM scratch buffer — no dead [B, Tp, 3H] write."""
     bsz, tp, h = x.shape
     hd = h // num_heads
     block_b = min(_fused_block_sizes(tp, h, x.dtype.itemsize)[0], bsz)
@@ -499,16 +503,20 @@ def _fused_call(x, w, b, seed, scale, t_real, dropout_rate, num_heads):
             pl.BlockSpec((1, 3 * h), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(spec, _qkv_spec(tp, h, block_b)),
+        out_specs=(spec, _qkv_spec(tp, h, block_b)) if emit_qkv else spec,
+        scratch_shapes=(
+            [] if emit_qkv
+            else [pltpu.VMEM((block_b, tp, 3 * h), x.dtype)]),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, scale=scale, t_real=t_real,
                           dropout_rate=dropout_rate, block_b=block_b,
                           num_heads=num_heads, hd=hd),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((bsz, tp, 3 * h), x.dtype),
+            (jax.ShapeDtypeStruct(x.shape, x.dtype),
+             jax.ShapeDtypeStruct((bsz, tp, 3 * h), x.dtype))
+            if emit_qkv else jax.ShapeDtypeStruct(x.shape, x.dtype)
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bsz * num_heads * tp * tp * hd
@@ -519,6 +527,7 @@ def _fused_call(x, w, b, seed, scale, t_real, dropout_rate, num_heads):
         compiler_params=_compiler_params(),
         interpret=_INTERPRET,
     )(seed, x, w, b)
+    return out if emit_qkv else (out, None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -527,14 +536,14 @@ def _attention_fused_bth(x, w, b, seed, scale, t_real, dropout_rate,
     """x: [B, Tp, H] (zero row/batch pads); w: [H, 3H]; b: [1, 3H];
     returns the attention output [B, Tp, H]."""
     o, _ = _fused_call(x, w, b, seed, scale, t_real, dropout_rate,
-                       num_heads)
+                       num_heads, emit_qkv=False)
     return o
 
 
 def _attention_fused_fwd(x, w, b, seed, scale, t_real, dropout_rate,
                          num_heads):
     o, qkv = _fused_call(x, w, b, seed, scale, t_real, dropout_rate,
-                         num_heads)
+                         num_heads, emit_qkv=True)
     return o, (x, w, qkv, seed)
 
 
