@@ -96,6 +96,47 @@ def test_module_level_parity_and_param_tree():
                                atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("b,t,h,nh", [(3, 13, 24, 2), (5, 37, 36, 3)])
+def test_outproj_forward_matches_xla(b, t, h, nh):
+    """Inference mega-fusion (qkv + attention + out-projection in-kernel)
+    == projection -> xla attention -> out-projection."""
+    x, w, bias = _inputs(b, t, h)
+    rng = np.random.default_rng(7)
+    wo = jnp.asarray(rng.normal(size=(h, h)) * 0.2, jnp.float32)
+    bo = jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)
+    got = pa.flash_attention_fused_outproj(x, w, bias, wo, bo,
+                                           num_heads=nh)
+    ref = _reference(x, w, bias, nh) @ wo + bo
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_outproj_module_parity_and_param_tree():
+    """SelfAttention(pallas_qkv_op) == SelfAttention(xla) deterministic
+    forward with an identical parameter tree, and the masked fallback
+    still works (same params, XLA path)."""
+    from weathermodel_tpu.models.blocks import SelfAttention
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 9, 24)),
+                    jnp.float32)
+    m_ref = SelfAttention(24, 2, attention_impl="xla")
+    m_op = SelfAttention(24, 2, attention_impl="pallas_qkv_op")
+    p = m_ref.init(jax.random.PRNGKey(0), x)
+
+    def tree_paths(t):
+        return {jax.tree_util.keystr(kp)
+                for kp, _ in jax.tree_util.tree_leaves_with_path(t)}
+
+    assert tree_paths(p) == tree_paths(m_op.init(jax.random.PRNGKey(0), x))
+    np.testing.assert_allclose(np.asarray(m_op.apply(p, x)),
+                               np.asarray(m_ref.apply(p, x)),
+                               atol=5e-5, rtol=1e-4)
+    mask = jnp.zeros((2, 9), bool).at[:, 6:].set(True)
+    np.testing.assert_allclose(np.asarray(m_op.apply(p, x, mask)),
+                               np.asarray(m_ref.apply(p, x, mask)),
+                               atol=5e-5, rtol=1e-4)
+
+
 def test_module_key_padding_fallback():
     from weathermodel_tpu.models.blocks import SelfAttention
 

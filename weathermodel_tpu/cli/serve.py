@@ -34,7 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "year/interval/mask)")
     p.add_argument("--output", required=True, help="output .npz path")
     p.add_argument("--attention-impl", default="auto",
-                   choices=("auto", "pallas", "pallas_qkv", "xla"))
+                   choices=("auto", "pallas", "pallas_qkv",
+                            "pallas_qkv_op", "xla"),
+                   help="pallas_qkv_op additionally fuses the"
+                        " out-projection in-kernel (measured ~0.4%%"
+                        " slower — see BASELINE.md; kept for A/B)")
     p.add_argument("--batch-size", default=256, type=int,
                    help="max padding bucket (see serve.DEFAULT_BUCKETS)")
     return p

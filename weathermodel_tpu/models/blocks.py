@@ -81,11 +81,29 @@ class SelfAttention(nn.Module):
     def __call__(self, x, key_padding_mask=None, deterministic=True):
         h, nh = self.hidden_dim, self.num_heads
 
-        if self.attention_impl == "pallas_qkv":
+        if self.attention_impl in ("pallas_qkv", "pallas_qkv_op"):
             # Same parameter tree as the nn.Dense path (checkpoints
             # interop); the projection runs inside the attention kernel.
             wk, wb = DenseParams(3 * h, h, name="qkv_proj")()
             rate = 0.0 if deterministic else self.dropout_rate
+            if (key_padding_mask is None
+                    and self.attention_impl == "pallas_qkv_op"):
+                # Inference mega-fusion: out-projection inside the kernel
+                # too (neither qkv nor o touch HBM). Not differentiable —
+                # resolve_attention_impl only hands this out for
+                # mode="eval" (serving / eval bench).
+                from weathermodel_tpu.ops.pallas_attention import (
+                    flash_attention_fused_outproj,
+                )
+
+                wo, wob = DenseParams(h, h, name="out_proj")()
+                seed = _dropout_seed(self) if rate > 0.0 else None
+                return flash_attention_fused_outproj(
+                    x.astype(self.dtype), wk.astype(self.dtype),
+                    wb.astype(self.dtype), wo.astype(self.dtype),
+                    wob.astype(self.dtype), num_heads=nh,
+                    dropout_rate=rate, dropout_seed=seed,
+                )
             if key_padding_mask is None:
                 from weathermodel_tpu.ops.pallas_attention import (
                     flash_attention_fused,

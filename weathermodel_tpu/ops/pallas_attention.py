@@ -149,10 +149,12 @@ def _dropout_mask(shape, rate):
 
 
 def _fwd_body(seed_ref, o_ref, q_at, k_at, v_at, *, scale, t_real,
-              dropout_rate, block_b, num_heads, hd, pre_row=None):
+              dropout_rate, block_b, num_heads, hd, pre_row=None,
+              post_row=None):
     """Shared forward row loop. q_at/k_at/v_at(i, j) yield one head's
     [Tp, hd] operands; pre_row(i) (fused-QKV variant) runs before the head
-    pipeline of row i."""
+    pipeline of row i; post_row(i) (fused out-projection variant) runs
+    after every head of row i has written into o_ref."""
     def head_scores(i, j):
         return _scores(q_at(i, j) * scale, k_at(i, j))
 
@@ -187,6 +189,8 @@ def _fwd_body(seed_ref, o_ref, q_at, k_at, v_at, *, scale, t_real,
             nxt = head_scores(i, j + 1) if j + 1 < num_heads else None
             head_finish(i, j, sc)
             sc = nxt
+        if post_row is not None:
+            post_row(i)
         return 0
 
     jax.lax.fori_loop(0, block_b, body, 0)
@@ -202,18 +206,13 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, t_real,
               block_b=block_b, num_heads=num_heads, hd=hd)
 
 
-def _fused_fwd_kernel(seed_ref, x_ref, w_ref, b_ref, o_ref, qkv_ref, *,
-                      scale, t_real, dropout_rate, block_b, num_heads, hd):
-    """QKV-projection + attention in one kernel. Reads the residual stream
-    x [block_b, Tp, H] and the packed projection W [H, 3H] / bias [1, 3H];
-    materializes qkv ONCE (as this kernel's second output, consumed by the
-    unchanged backward) instead of the XLA path's matmul-write + split +
-    pad-copy chain. Pad-row handling: x pad rows are exact zeros, so
-    x @ W has zero pad rows; the bias is added under a row < t_real mask,
-    keeping k/v pad rows exactly zero — the closed-form softmax pad
-    correction and the zero-pad-AV argument carry over unchanged."""
+def _make_project_row(x_ref, w_ref, b_ref, qkv_ref, t_real):
+    """Row projector qkv[i] = x[i] @ W + bias (bias masked to real rows).
+    x pad rows are exact zeros, so x @ W has zero pad rows; adding the bias
+    under a row < t_real mask keeps k/v pad rows exactly zero — the
+    closed-form softmax pad correction and the zero-pad-AV argument carry
+    over unchanged."""
     tp = x_ref.shape[1]
-    h = x_ref.shape[2]
 
     def project(i):
         qkv = jax.lax.dot_general(
@@ -228,14 +227,62 @@ def _fused_fwd_kernel(seed_ref, x_ref, w_ref, b_ref, o_ref, qkv_ref, *,
             qkv = qkv + bias
         qkv_ref[i] = qkv.astype(qkv_ref.dtype)
 
+    return project
+
+
+def _qkv_at(qkv_ref, h, hd):
+    """Head-slice accessors into the packed [block_b, Tp, 3H] qkv buffer."""
     def at(part):
         off = part * h
         return lambda i, j: qkv_ref[i, :, off + j * hd:off + (j + 1) * hd]
 
-    _fwd_body(seed_ref, o_ref, at(0), at(1), at(2),
+    return at(0), at(1), at(2)
+
+
+def _fused_fwd_kernel(seed_ref, x_ref, w_ref, b_ref, o_ref, qkv_ref, *,
+                      scale, t_real, dropout_rate, block_b, num_heads, hd):
+    """QKV-projection + attention in one kernel. Reads the residual stream
+    x [block_b, Tp, H] and the packed projection W [H, 3H] / bias [1, 3H];
+    materializes qkv ONCE (as this kernel's second output, consumed by the
+    unchanged backward) instead of the XLA path's matmul-write + split +
+    pad-copy chain."""
+    h = x_ref.shape[2]
+    q_at, k_at, v_at = _qkv_at(qkv_ref, h, hd)
+    _fwd_body(seed_ref, o_ref, q_at, k_at, v_at,
               scale=scale, t_real=t_real, dropout_rate=dropout_rate,
               block_b=block_b, num_heads=num_heads, hd=hd,
-              pre_row=project)
+              pre_row=_make_project_row(x_ref, w_ref, b_ref, qkv_ref,
+                                        t_real))
+
+
+def _fused_fwd_outproj_kernel(seed_ref, x_ref, w_ref, b_ref, wo_ref,
+                              bo_ref, y_ref, qkv_ref, o_ref, *, scale,
+                              t_real, dropout_rate, block_b, num_heads,
+                              hd):
+    """Inference mega-fusion: QKV projection + attention + OUT-projection
+    in one kernel. qkv AND the attention output o live only in VMEM
+    scratch; the kernel's sole HBM output is y = o @ Wo + bo — the XLA
+    path's o write + re-read (one [B, Tp, H] HBM roundtrip per layer)
+    disappears. Inference-only: o is the out-projection's backward
+    residual, so a training variant would have to materialize it anyway
+    (no custom VJP is defined). y pad rows carry garbage (as o's always
+    did) and are sliced off by the caller."""
+    h = x_ref.shape[2]
+    q_at, k_at, v_at = _qkv_at(qkv_ref, h, hd)
+
+    def outproj(i):
+        y = jax.lax.dot_general(
+            o_ref[i], wo_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y_ref[i] = (y + bo_ref[...].astype(jnp.float32)).astype(y_ref.dtype)
+
+    _fwd_body(seed_ref, o_ref, q_at, k_at, v_at,
+              scale=scale, t_real=t_real, dropout_rate=dropout_rate,
+              block_b=block_b, num_heads=num_heads, hd=hd,
+              pre_row=_make_project_row(x_ref, w_ref, b_ref, qkv_ref,
+                                        t_real),
+              post_row=outproj)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, *refs, scale, t_real,
@@ -530,6 +577,59 @@ def _fused_call(x, w, b, seed, scale, t_real, dropout_rate, num_heads,
     return out if emit_qkv else (out, None)
 
 
+def _fused_op_block_sizes(tp: int, h: int, itemsize: int) -> int:
+    per_row = tp * h * itemsize
+    # double-buffered [H, 3H] + [H, H] weight streams
+    w_bytes = 2 * 4 * h * h * itemsize
+    avail = max(_VMEM_BUDGET - w_bytes, 12 * per_row)
+    # x + y (x2 pipeline buffers) + 3 rows qkv scratch + 1 row o scratch
+    bf = max(1, avail // (12 * per_row))
+    return min(1 << (bf.bit_length() - 1), _MAX_BLOCK_B)
+
+
+def _fused_outproj_call(x, w, b, wo, bo, seed, scale, t_real,
+                        dropout_rate, num_heads):
+    bsz, tp, h = x.shape
+    hd = h // num_heads
+    block_b = min(_fused_op_block_sizes(tp, h, x.dtype.itemsize), bsz)
+    spec = _b_spec(tp, h, block_b)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz // block_b,),
+        in_specs=[
+            spec,
+            pl.BlockSpec((h, 3 * h), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * h), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=spec,
+        scratch_shapes=[
+            pltpu.VMEM((block_b, tp, 3 * h), x.dtype),
+            pltpu.VMEM((block_b, tp, h), x.dtype),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fused_fwd_outproj_kernel, scale=scale,
+                          t_real=t_real, dropout_rate=dropout_rate,
+                          block_b=block_b, num_heads=num_heads, hd=hd),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bsz * num_heads * tp * tp * hd
+            + 8 * bsz * tp * h * h,
+            bytes_accessed=(2 * bsz * tp * h + 4 * h * h) * 4,
+            transcendentals=bsz * num_heads * tp * tp,
+        ),
+        compiler_params=_compiler_params(),
+        interpret=_INTERPRET,
+    )(seed, x, w, b, wo, bo)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _attention_fused_bth(x, w, b, seed, scale, t_real, dropout_rate,
                          num_heads):
@@ -623,6 +723,41 @@ def flash_attention_fused(x, w, b, *, num_heads, dropout_rate: float = 0.0,
 
     out = _attention_fused_bth(
         x, w.astype(x.dtype), jnp.reshape(b, (1, -1)).astype(x.dtype),
+        seed, scale, t, float(dropout_rate), num_heads)
+    return out[:bsz, :t, :]
+
+
+def flash_attention_fused_outproj(x, w, b, wo, bo, *, num_heads,
+                                  dropout_rate: float = 0.0,
+                                  dropout_seed=None):
+    """INFERENCE-ONLY mega-fusion: equivalent to
+    flash_attention_fused(x, w, b, ...) @ wo + bo with the out-projection
+    inside the kernel too — neither qkv nor the attention output o ever
+    touch HBM. x: [B, T, H]; w: [H, 3H]; b: [3H]; wo: [H, H]; bo: [H];
+    returns [B, T, H]. Not differentiable (o is the out-projection's
+    backward residual — a training variant would re-materialize it,
+    erasing the win; grad attempts fail at pallas_call)."""
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    bsz, t, h = x.shape
+    if h % num_heads != 0:
+        raise ValueError(f"hidden {h} not divisible by heads {num_heads}")
+    hd = h // num_heads
+    tp = _pad_len(t)
+    scale = 1.0 / (hd ** 0.5)
+
+    b_pad = (-bsz) % _fused_op_block_sizes(tp, h, x.dtype.itemsize)
+    if tp != t or b_pad:
+        x = jnp.pad(x, ((0, b_pad), (0, tp - t), (0, 0)))
+
+    if dropout_seed is None:
+        seed = jnp.zeros((1,), dtype=jnp.int32)
+    else:
+        seed = jnp.reshape(dropout_seed, (1,)).astype(jnp.int32)
+
+    out = _fused_outproj_call(
+        x, w.astype(x.dtype), jnp.reshape(b, (1, -1)).astype(x.dtype),
+        wo.astype(x.dtype), jnp.reshape(bo, (1, -1)).astype(x.dtype),
         seed, scale, t, float(dropout_rate), num_heads)
     return out[:bsz, :t, :]
 
