@@ -188,3 +188,24 @@ def test_pretrain_cli_fsdp_remat_multifreq_compose(tmp_path):
     ])
     result = run(args)
     assert np.isfinite(result["best_val_loss"])
+
+
+def test_pretrain_cli_moe(tmp_path):
+    # --moe-experts swaps the dense FFN for the expert-parallel MoE FFN
+    # (models/moe.py); the aux balance loss must reach the output metrics
+    from weathermodel_tpu.cli.pretrain import run
+    from weathermodel_tpu.data.chunks import write_synthetic_dataset
+
+    d = str(tmp_path / "data")
+    write_synthetic_dataset(d, n_chunks=8, n_samples=32, seq_len=8)
+    args = pretrain_parser().parse_args([
+        "--model", "weatherbert", "--model-size", "mini",
+        "--n-epochs", "2", "--batch-size", "16", "--n-warmup-epochs", "1",
+        "--data-dir", d, "--attention-impl", "xla",
+        "--compute-dtype", "float32", "--moe-experts", "4",
+        "--workdir", str(tmp_path / "run"),
+    ])
+    result = run(args)
+    assert np.isfinite(result["best_val_loss"])
+    oj = json.load(open(tmp_path / "run" / "weatherbert_output.json"))
+    assert "moe_aux" in oj["losses"]["train"]

@@ -71,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "schedule; requires num_layers %% N == 0)")
     p.add_argument("--pipeline-microbatches", default=4, type=int,
                    help="microbatches streamed through the pipeline")
+    p.add_argument("--moe-experts", default=0, type=int,
+                   help="num_experts > 0 swaps the dense FFN for a top-k "
+                        "routed Mixture-of-Experts FFN, expert-parallel "
+                        "over the mesh's 'model' axis (models/moe.py)")
+    p.add_argument("--moe-top-k", default=2, type=int)
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + optimizer moments over the 'data' "
                         "mesh axis (ZeRO-3-style; per-chip state memory / "
@@ -160,7 +165,8 @@ def run(args: argparse.Namespace) -> dict:
         k = 7   # reference weatherformer_mixture.py:24
 
     mcfg = model_config_for_size(
-        args.model_size, k=k, compute_dtype=args.compute_dtype
+        args.model_size, k=k, compute_dtype=args.compute_dtype,
+        num_experts=args.moe_experts, moe_top_k=args.moe_top_k,
     )
     tcfg = TrainConfig(
         batch_size=args.batch_size,

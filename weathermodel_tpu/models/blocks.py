@@ -220,6 +220,12 @@ class TransformerEncoderLayer(nn.Module):
     # XLA's single [B*T, 4H] matmul + fusion wins; kept opt-in for shapes
     # where HBM pressure dominates.
     ffn_impl: str = "xla"
+    # num_experts > 0 replaces the dense FFN with a top-k-routed
+    # Mixture-of-Experts FFN (models/moe.py) — expert-parallel over the
+    # mesh's 'model' axis. Beyond-reference scale-out capability.
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
@@ -229,6 +235,18 @@ class TransformerEncoderLayer(nn.Module):
         )(x, key_padding_mask, deterministic)
         attn = _dropout(self, attn, self.dropout_rate, deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x + attn)
+
+        if self.num_experts > 0:
+            from weathermodel_tpu.models.moe import MoEFFN
+
+            ff = MoEFFN(
+                self.hidden_dim, self.ffn_dim, self.num_experts,
+                self.moe_top_k, self.moe_capacity_factor,
+                self.dropout_rate, self.dtype, name="moe",
+            )(x, deterministic=deterministic)
+            ff = _dropout(self, ff, self.dropout_rate, deterministic)
+            return nn.LayerNorm(
+                epsilon=1e-5, name="norm2", dtype=self.dtype)(x + ff)
 
         w1, b1 = DenseParams(self.ffn_dim, self.hidden_dim,
                              name="linear1")()
@@ -287,16 +305,25 @@ class TransformerEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     ffn_impl: str = "xla"
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
         layer_cls = TransformerEncoderLayer
         if self.remat:
+            if self.num_experts > 0:
+                # flax discards collections sown inside nn.remat; the MoE
+                # aux loss would silently vanish from the objective.
+                raise ValueError("remat is not supported with MoE layers "
+                                 "(sown aux loss would be dropped)")
             layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(3,))
         for i in range(self.num_layers):
             x = layer_cls(
                 self.hidden_dim, self.num_heads, self.ffn_dim,
                 self.dropout_rate, self.attention_impl, self.dtype,
-                self.ffn_impl, name=f"layer_{i}",
+                self.ffn_impl, self.num_experts, self.moe_top_k,
+                self.moe_capacity_factor, name=f"layer_{i}",
             )(x, key_padding_mask, deterministic)
         return x

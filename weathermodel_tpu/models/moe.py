@@ -1,0 +1,159 @@
+"""Mixture-of-Experts FFN with expert parallelism (the `ep` axis).
+
+Beyond-reference scale-out capability (the reference's FFN is dense,
+`src/pretraining/models/weatherbert.py:45-54` via torch's stock encoder
+layer): a GShard/Switch-style top-k-routed expert FFN whose expert
+dimension shards over the mesh's 'model' axis — expert parallelism on top
+of the existing dp/tp/fsdp/sp/pp layouts (parallel/mesh.py routes
+``expert_*`` params to P('model', ...)). Under jit, GSPMD propagates the
+expert sharding through the dispatch/combine scatter-gathers and inserts
+the all-to-all over ICI — no hand-written collectives.
+
+TPU-first design notes:
+  * Static shapes everywhere: top_k and the per-group expert capacity are
+    Python ints; overflowed tokens are dropped (standard Switch semantics)
+    by routing them to a sacrificial capacity slot that never combines
+    back.
+  * No [S, E, C] one-hot dispatch tensor (the classic Mesh-TF einsum
+    needs S*E*C elements — gigabytes at B=288, T=365). Dispatch is a
+    scatter into [E, C, H] and combine is a gather, with the
+    position-in-expert computed from an [S, E] running count (cumsum).
+  * Router runs in float32 (softmax stability under bf16 compute).
+  * The per-expert FFN is one batched einsum pair [E,C,H]x[E,H,F] —
+    large, MXU-shaped matmuls.
+
+Load balancing: the Switch aux loss (num_experts * sum_e f_e * P_e,
+== 1 at perfect balance) plus a small router z-loss, sown into the
+'moe' collection; train/steps.py adds ``cfg.moe_aux_weight *`` their sum
+to the objective.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from weathermodel_tpu.models.blocks import (
+    torch_linear_bias_init,
+    torch_linear_kernel_init,
+)
+
+# Router z-loss weight relative to the balance loss (ST-MoE's stabilizer:
+# penalizes drifting router logit magnitudes).
+Z_LOSS_SCALE = 1e-3
+
+
+def expert_capacity(tokens_per_group: int, num_experts: int, top_k: int,
+                    capacity_factor: float) -> int:
+    """Static per-group expert capacity, padded to a multiple of 8
+    (sublane-friendly)."""
+    c = int(capacity_factor * top_k * tokens_per_group / num_experts)
+    c = max(c, top_k)
+    return -(-c // 8) * 8
+
+
+class MoEFFN(nn.Module):
+    """Top-k routed expert FFN: router -> dispatch -> per-expert
+    (linear1 -> relu -> dropout -> linear2) -> weighted combine.
+
+    Drop-in replacement for the dense FFN half of
+    ``TransformerEncoderLayer`` (same [B, T, H] -> [B, T, H] contract;
+    the residual + post-LN tail stays in the caller)."""
+
+    hidden_dim: int
+    ffn_dim: int
+    num_experts: int
+    top_k: int = 2
+    capacity_factor: float = 1.25
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        h, f, e, k = self.hidden_dim, self.ffn_dim, self.num_experts, self.top_k
+        if not 0 < k <= e:
+            raise ValueError(f"top_k={k} must be in [1, num_experts={e}]")
+        b, t, _ = x.shape
+        s = b * t
+        cap = expert_capacity(s, e, k, self.capacity_factor)
+
+        # --- router (float32) ---------------------------------------
+        xf = x.reshape(s, h)
+        logits = nn.Dense(
+            e, kernel_init=torch_linear_kernel_init(),
+            bias_init=torch_linear_bias_init(h), name="router",
+            dtype=jnp.float32,
+        )(xf.astype(jnp.float32))                                 # [S, E]
+        probs = jax.nn.softmax(logits, axis=-1)
+        gate, idx = jax.lax.top_k(probs, k)                       # [S, k]
+        gate = gate / jnp.maximum(
+            jnp.sum(gate, axis=-1, keepdims=True), 1e-9)
+
+        # --- aux losses (Switch balance + z-loss) --------------------
+        # f_e: fraction of routed (token, slot) assignments per expert;
+        # P_e: mean router prob. e * sum(f*P) == 1 at perfect balance.
+        assign = jax.nn.one_hot(idx, e, dtype=jnp.float32)        # [S, k, E]
+        density = jnp.mean(jnp.sum(assign, axis=1), axis=0)       # [E]
+        balance = e * jnp.sum(density / k * jnp.mean(probs, axis=0))
+        z = jax.scipy.special.logsumexp(logits, axis=-1)
+        aux = balance + Z_LOSS_SCALE * jnp.mean(jnp.square(z))
+        if not self.is_initializing():
+            # (guard: sowing during init would bake a 'moe' collection
+            # into the checkpointed variables)
+            self.sow("moe", "aux_loss", aux,
+                     reduce_fn=lambda a, b: a + b, init_fn=lambda: 0.0)
+
+        # --- position-in-expert + capacity drop ----------------------
+        # Running count over tokens gives each (token, slot) its slot
+        # index inside its expert's buffer; slot order (k-major within a
+        # token) matches GShard's priority: earlier tokens & higher-gate
+        # slots win the capacity race.
+        flat_idx = idx.reshape(s * k)                             # token-major
+        onehot = jax.nn.one_hot(flat_idx, e, dtype=jnp.int32)     # [S*k, E]
+        pos = (jnp.cumsum(onehot, axis=0) - onehot)               # exclusive
+        pos = jnp.take_along_axis(pos, flat_idx[:, None], axis=1)[:, 0]
+        keep = pos < cap
+        # Dropped tokens scatter into the sacrificial slot `cap`.
+        pos = jnp.where(keep, pos, cap)
+
+        # --- dispatch: scatter tokens into [E, cap+1, H] --------------
+        xk = jnp.repeat(xf.astype(self.dtype), k, axis=0)         # [S*k, H]
+        buf = jnp.zeros((e, cap + 1, h), self.dtype)
+        buf = buf.at[flat_idx, pos].set(xk, mode="drop")
+        expert_in = buf[:, :cap]                                  # [E, C, H]
+
+        # --- per-expert FFN (batched MXU einsums) --------------------
+        def expert_init(base):
+            def init(key, shape, dtype=jnp.float32):
+                keys = jax.random.split(key, shape[0])
+                return jnp.stack([base(kk, shape[1:], dtype) for kk in keys])
+            return init
+
+        w1 = self.param("expert_w1",
+                        expert_init(torch_linear_kernel_init()), (e, h, f))
+        b1 = self.param("expert_b1",
+                        expert_init(torch_linear_bias_init(h)), (e, f))
+        w2 = self.param("expert_w2",
+                        expert_init(torch_linear_kernel_init()), (e, f, h))
+        b2 = self.param("expert_b2",
+                        expert_init(torch_linear_bias_init(f)), (e, h))
+
+        hdn = jnp.einsum("ech,ehf->ecf", expert_in, w1.astype(self.dtype))
+        hdn = nn.relu(hdn + b1[:, None].astype(self.dtype))
+        if not deterministic and self.dropout_rate > 0.0:
+            if dropout_rng is None:
+                dropout_rng = self.make_rng("dropout")
+            from weathermodel_tpu.ops import dropout as fast_dropout
+
+            hdn = fast_dropout.dropout(hdn, dropout_rng, self.dropout_rate)
+        out = jnp.einsum("ecf,efh->ech", hdn, w2.astype(self.dtype))
+        out = out + b2[:, None].astype(self.dtype)                # [E, C, H]
+
+        # --- combine: gather each slot's output, gate-weighted -------
+        got = out[flat_idx, jnp.minimum(pos, cap - 1)]            # [S*k, H]
+        w = (gate.reshape(s * k) * keep).astype(self.dtype)
+        combined = jnp.sum(
+            (got * w[:, None]).reshape(s, k, h), axis=1)
+        return combined.reshape(b, t, h)

@@ -88,6 +88,9 @@ class WeatherEncoderCore(nn.Module):
             dtype=dtype,
             remat=self.remat,
             ffn_impl=self.ffn_impl,
+            num_experts=cfg.num_experts,
+            moe_top_k=cfg.moe_top_k,
+            moe_capacity_factor=cfg.moe_capacity_factor,
             name="encoder",
         )(x, src_key_padding_mask, deterministic)
         return x

@@ -78,11 +78,16 @@ def param_sharding_rules(path_tuple, shape, mesh: Mesh) -> P:
     reduce over 'model'):
       qkv_proj / linear1 kernels: split output dim  -> P(None, 'model')
       out_proj(attn) / linear2 kernels: split input dim -> P('model', None)
+      expert_* (MoE, models/moe.py): split the leading EXPERT dim over
+        'model' — expert parallelism; GSPMD inserts the dispatch/combine
+        all-to-all over ICI from this annotation alone
       everything else: replicated.
     """
     if mesh.shape[MODEL_AXIS] == 1:
         return P()
     path = "/".join(str(p) for p in path_tuple)
+    if "expert_" in path and shape[0] % mesh.shape[MODEL_AXIS] == 0:
+        return P(MODEL_AXIS)
     if len(shape) == 2:
         if "qkv_proj" in path or "linear1" in path:
             return P(None, MODEL_AXIS)

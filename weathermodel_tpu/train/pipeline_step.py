@@ -83,6 +83,12 @@ def make_pipelined_model(model, mesh, n_micro: int = 4):
             f"{type(model).__name__}"
         )
     cfg = model.cfg
+    if getattr(cfg, "num_experts", 0) > 0:
+        raise ValueError(
+            "pipeline parallelism does not support MoE layers (the staged "
+            "trunk rebuilds dense FFN layers and cannot thread the sown "
+            "aux-loss collection); use --seq-parallel or TP/EP instead"
+        )
     n_stages = mesh.shape[MODEL_AXIS]
     if cfg.num_layers % n_stages != 0:
         raise ValueError(

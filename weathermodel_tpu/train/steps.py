@@ -54,12 +54,34 @@ OBJECTIVES = ("masked_mse", "elbo", "elbo_sinusoid", "elbo_mixture",
               "mlp_mse")
 
 
+def _moe_aux_weight(model) -> float:
+    """cfg.moe_aux_weight when the model carries MoE layers, else 0.
+    (MoE lives in the encoder trunk, so `model.cfg` is the source of
+    truth; the pipeline shim does not support MoE — blocks.py raises.)"""
+    cfg = getattr(model, "cfg", None)
+    if cfg is not None and getattr(cfg, "num_experts", 0) > 0:
+        return cfg.moe_aux_weight
+    return 0.0
+
+
 def _objective_losses(model, objective, params, batch, mask, beta,
                       deterministic, rngs, sample_key):
-    outputs = model.apply(
-        params, batch.weather, batch.coords, batch.year, batch.interval,
-        mask, deterministic=deterministic, rngs=rngs,
-    )
+    moe_w = _moe_aux_weight(model)
+    moe_aux = None
+    if moe_w:
+        # MoE layers sow their Switch balance + z losses into the 'moe'
+        # collection (models/moe.py); sum across layers.
+        outputs, mvars = model.apply(
+            params, batch.weather, batch.coords, batch.year, batch.interval,
+            mask, deterministic=deterministic, rngs=rngs, mutable=["moe"],
+        )
+        leaves = jax.tree.leaves(mvars.get("moe", {}))
+        moe_aux = sum(leaves) / max(len(leaves), 1)
+    else:
+        outputs = model.apply(
+            params, batch.weather, batch.coords, batch.year, batch.interval,
+            mask, deterministic=deterministic, rngs=rngs,
+        )
     b = batch.weather.shape[0]
     # Per-sample weights (None = uniform). Zero-weight rows are padding and
     # must not contribute to any metric.
@@ -73,6 +95,17 @@ def _objective_losses(model, objective, params, batch, mask, beta,
     def wmean(per_sample):  # weighted mean over the batch axis
         return jnp.sum(per_sample * w1) / wsum
 
+    def with_moe(result):
+        """Fold the MoE aux loss (if any) into the objective. Training
+        total gets + moe_aux_weight * aux; the raw aux is always emitted
+        as a metric (val total stays the task loss for comparability)."""
+        if moe_aux is not None:
+            result["moe_aux"] = moe_aux
+            if not deterministic:
+                result["total_loss"] = (
+                    result["total_loss"] + moe_w * moe_aux)
+        return result
+
     if objective == "masked_mse":
         err = batch.weather - outputs
         wm = mask * w3
@@ -81,7 +114,7 @@ def _objective_losses(model, objective, params, batch, mask, beta,
         # Masked-feature MAE: the reference's headline pretraining quality
         # metric (BASELINE.md; loss definition weatherbert_trainer.py:46-62).
         mae = jnp.sum(jnp.abs(err) * wm) / msum
-        return {"total_loss": total, "mae": mae}
+        return with_moe({"total_loss": total, "mae": mae})
 
     if objective == "mlp_mse":
         # Full-sequence MSE on the 6 fixed crop-relevant features, plus
@@ -98,7 +131,7 @@ def _objective_losses(model, objective, params, batch, mask, beta,
         result = {"total_loss": jnp.mean(feature_losses)}
         for i, feat in enumerate(MLP_TARGET_FEATURES):
             result[f"feature_{feat}_mse"] = feature_losses[i]
-        return result
+        return with_moe(result)
 
     # Variational objectives: per-sample sums normalized by the batch-mean
     # masked count (reference weatherformer_trainer.py:90-99).
@@ -128,12 +161,12 @@ def _objective_losses(model, objective, params, batch, mask, beta,
     wm = mask * w3
     mae = jnp.sum(jnp.abs(batch.weather - mu_x) * wm) / jnp.maximum(
         jnp.sum(wm), 1)
-    return {
+    return with_moe({
         "total_loss": recon + kl_term,
         "reconstruction": recon,
         "kl_term": kl_term,
         "mae": mae,
-    }
+    })
 
 
 def make_train_step(model, objective: str, masking: str, *,

@@ -31,6 +31,14 @@ class ModelConfig:
     # Computation dtype: "float32" for reference-numerics parity,
     # "bfloat16" for MXU throughput (params always stay float32).
     compute_dtype: str = "float32"
+    # Mixture-of-Experts FFN (models/moe.py): num_experts > 0 replaces the
+    # dense FFN with a top-k-routed expert FFN, expert-parallel over the
+    # mesh's 'model' axis. 0 = dense (reference parity).
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    # Weight on the sown Switch balance + z aux loss in the objective.
+    moe_aux_weight: float = 0.01
 
     @property
     def hidden_dim(self) -> int:
