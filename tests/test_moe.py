@@ -229,3 +229,20 @@ def test_moe_pipeline_raises():
     mesh = make_mesh(4, 2)
     with pytest.raises(ValueError, match="MoE"):
         make_pipelined_model(WeatherBERT(CFG), mesh, n_micro=2)
+
+
+def test_moe_dense_transfer_mismatch_raises():
+    from weathermodel_tpu.models.transfer import load_pretrained
+
+    batch = _batch(4)
+    moe_params = _init_params(WeatherBERT(CFG), batch)
+    dense_params = _init_params(
+        WeatherBERT(ModelConfig(num_heads=4, num_layers=2,
+                                hidden_dim_factor=16, max_len=T)), batch)
+    with pytest.raises(ValueError, match="MoE"):
+        load_pretrained("weatherbert", dense_params, moe_params)
+    with pytest.raises(ValueError, match="MoE"):
+        load_pretrained("weatherbert", moe_params, dense_params)
+    # like-for-like still transfers
+    out = load_pretrained("weatherbert", moe_params, moe_params)
+    assert "core" in out["params"]

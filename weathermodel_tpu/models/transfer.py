@@ -49,6 +49,18 @@ def load_pretrained(model_name: str, target_params, pretrained_params,
         raise ValueError(
             f"expected input dimension {tgt_in} but received {src_in}"
         )
+
+    def _is_moe(core):
+        enc = core.get("encoder", {})
+        return any("moe" in layer for layer in enc.values()
+                   if isinstance(layer, dict))
+
+    if _is_moe(src["core"]) != _is_moe(tgt["core"]):
+        raise ValueError(
+            "FFN architecture mismatch: one checkpoint uses MoE layers "
+            "(--moe-experts) and the other a dense FFN; build the target "
+            "with the same num_experts as the pretrained encoder"
+        )
     tgt["core"] = src["core"]
 
     def shapes_match(a, b):
