@@ -246,3 +246,58 @@ def test_moe_dense_transfer_mismatch_raises():
     # like-for-like still transfers
     out = load_pretrained("weatherbert", moe_params, moe_params)
     assert "core" in out["params"]
+
+
+def test_cli_tensor_parallel_moe_end_to_end(tmp_path):
+    """--tensor-parallel shards Megatron TP + MoE expert params over the
+    'model' axis through the REAL trainer (EP training path, not just the
+    step-level equivalence above)."""
+    import json
+
+    from weathermodel_tpu.cli.pretrain import build_parser, run
+    from weathermodel_tpu.data.chunks import write_synthetic_dataset
+
+    d = str(tmp_path / "data")
+    write_synthetic_dataset(d, n_chunks=8, n_samples=48, seq_len=16)
+    args = build_parser().parse_args([
+        "--model", "weatherbert", "--model-size", "mini",
+        "--n-epochs", "2", "--batch-size", "16", "--n-warmup-epochs", "1",
+        "--data-dir", d, "--compute-dtype", "float32",
+        "--attention-impl", "xla",
+        "--tensor-parallel", "2", "--moe-experts", "4",
+        "--workdir", str(tmp_path / "run_tp_moe"),
+    ])
+    result = run(args)
+    assert np.isfinite(result["best_val_loss"])
+    oj = json.load(open(tmp_path / "run_tp_moe" /
+                        "weatherbert_output.json"))
+    assert "moe_aux" in oj["losses"]["train"]
+
+
+def test_cli_tensor_parallel_fsdp_compose(tmp_path):
+    """--tensor-parallel + --fsdp = 2-D sharding through the trainer."""
+    from weathermodel_tpu.cli.pretrain import build_parser, run
+    from weathermodel_tpu.data.chunks import write_synthetic_dataset
+
+    d = str(tmp_path / "data")
+    write_synthetic_dataset(d, n_chunks=8, n_samples=48, seq_len=16)
+    args = build_parser().parse_args([
+        "--model", "weatherbert", "--model-size", "mini",
+        "--n-epochs", "2", "--batch-size", "16", "--n-warmup-epochs", "1",
+        "--data-dir", d, "--compute-dtype", "float32",
+        "--attention-impl", "xla",
+        "--tensor-parallel", "2", "--fsdp",
+        "--workdir", str(tmp_path / "run_tp_fsdp"),
+    ])
+    result = run(args)
+    assert np.isfinite(result["best_val_loss"])
+
+
+def test_trainer_rejects_conflicting_model_axis_flags():
+    from weathermodel_tpu.train.trainer import PretrainTrainer
+    from weathermodel_tpu.utils.config import TrainConfig
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        PretrainTrainer(
+            WeatherBERT(CFG), "weatherbert", CFG, TrainConfig(),
+            make_loaders=None, seq_parallel=2, tensor_parallel=2)

@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "schedule; requires num_layers %% N == 0)")
     p.add_argument("--pipeline-microbatches", default=4, type=int,
                    help="microbatches streamed through the pipeline")
+    p.add_argument("--tensor-parallel", default=1, type=int,
+                   help="shard params Megatron-style (and MoE experts, "
+                        "expert-parallel) over a 'model' mesh axis of "
+                        "this size; composes with --fsdp (2-D sharding)")
     p.add_argument("--moe-experts", default=0, type=int,
                    help="num_experts > 0 swaps the dense FFN for a top-k "
                         "routed Mixture-of-Experts FFN, expert-parallel "
@@ -210,6 +214,7 @@ def run(args: argparse.Namespace) -> dict:
         seq_parallel=args.seq_parallel,
         pipeline_stages=args.pipeline_stages,
         pipeline_microbatches=args.pipeline_microbatches,
+        tensor_parallel=args.tensor_parallel,
     )
     return trainer.train()
 

@@ -67,28 +67,42 @@ class PretrainTrainer:
         seq_parallel: int = 1,
         pipeline_stages: int = 1,
         pipeline_microbatches: int = 4,
+        tensor_parallel: int = 1,
     ):
         """make_loaders(split, shuffle, seed) -> iterator of Batch.
 
         seq_parallel=N: sequence dim sharded over a 'model' axis of size
         N, attention runs as a ring over ICI (model must be built with
         attention_impl="ring"). pipeline_stages=N: encoder layers staged
-        over a 'model' axis of size N (GPipe schedule). Both compose with
-        DP on the remaining devices; they cannot be combined with each
-        other or with fsdp (one 'model' axis)."""
+        over a 'model' axis of size N (GPipe schedule).
+        tensor_parallel=N: params sharded over a 'model' axis of size N —
+        Megatron column/row rules for the attention/FFN matmuls and the
+        EXPERT dim of MoE layers (expert parallelism); composes with
+        fsdp (2-D sharding). Each strategy composes with DP on the
+        remaining devices; seq/pipeline/tensor claim the one 'model'
+        axis and are mutually exclusive (fsdp additionally excludes
+        seq/pipeline: their shard_map state layouts assume the 'data'
+        axis is free)."""
         self.model = model
         self.model_name = model_name
         self.model_cfg = model_cfg
         self.cfg = train_cfg
         self.make_loaders = make_loaders
-        if (seq_parallel > 1) + (pipeline_stages > 1) + fsdp > 1:
+        if (seq_parallel > 1) + (pipeline_stages > 1) + \
+                (tensor_parallel > 1) > 1:
             raise ValueError(
-                "--seq-parallel, --pipeline-stages and --fsdp are "
-                "mutually exclusive")
-        if seq_parallel > 1 or pipeline_stages > 1:
+                "--seq-parallel, --pipeline-stages and --tensor-parallel "
+                "claim the same mesh 'model' axis and are mutually "
+                "exclusive")
+        if fsdp and (seq_parallel > 1 or pipeline_stages > 1):
+            raise ValueError(
+                "--fsdp cannot combine with --seq-parallel/"
+                "--pipeline-stages (use --tensor-parallel for 2-D "
+                "sharding)")
+        if seq_parallel > 1 or pipeline_stages > 1 or tensor_parallel > 1:
             if mesh is not None:
-                raise ValueError("pass either mesh or seq/pipeline flags")
-            n_model = seq_parallel if seq_parallel > 1 else pipeline_stages
+                raise ValueError("pass either mesh or parallelism flags")
+            n_model = max(seq_parallel, pipeline_stages, tensor_parallel)
             n_dev = len(jax.devices())
             if n_dev % n_model:
                 raise ValueError(
@@ -140,11 +154,20 @@ class PretrainTrainer:
         from weathermodel_tpu.parallel.mesh import (
             ensure_on_mesh,
             replicated_sharding,
+            shard_params,
             shard_params_fsdp,
         )
 
         state_shardings = None
-        if fsdp:
+        if tensor_parallel > 1:
+            # Megatron TP (+EP for MoE expert_* params) over 'model',
+            # optionally FSDP-filled over 'data' (2-D sharding); state
+            # re-created from sharded params so adam moments inherit.
+            sharded = shard_params(state.params, self.mesh, fsdp=fsdp)
+            state = ensure_on_mesh(create_train_state(sharded), self.mesh)
+            state_shardings = jax.tree.map(lambda l: l.sharding, state)
+            self.state = state
+        elif fsdp:
             # re-create the state from FSDP-sharded params so the adam
             # moments (zeros_like) inherit the shards
             sharded = shard_params_fsdp(state.params, self.mesh)
