@@ -156,3 +156,36 @@ def test_serve_cli_variational_outputs(tmp_path):
     with np.load(outp) as z:
         assert z["mu"].shape == (4, t, f)
         assert (np.asarray(z["var"]) > 0).all()  # clamped variances
+
+
+def test_serve_moe_checkpoint(tmp_path):
+    """A --moe-experts checkpoint serves when the predictor is built with
+    the matching num_experts (MoE params restore into the MoE tree)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from weathermodel_tpu.cli.pretrain import load_pretrained_params
+    from weathermodel_tpu.utils.config import ModelConfig
+
+    moe_cfg = ModelConfig(
+        num_heads=CFG.num_heads, num_layers=CFG.num_layers,
+        hidden_dim_factor=CFG.hidden_dim_factor, max_len=CFG.max_len,
+        num_experts=2, moe_top_k=1)
+    model = WeatherBERT(moe_cfg)
+    w, c, y, i = _inputs(2)
+    params = model.init(jax.random.PRNGKey(0), w, c, y, i,
+                        np.zeros(w.shape, bool))
+    ck = ocp.StandardCheckpointer()
+    ck.save(os.path.abspath(str(tmp_path / "best")), params)
+    ck.wait_until_finished()
+
+    loaded = load_pretrained_params(str(tmp_path / "best"),
+                                    moe_cfg.num_layers)
+    pred = WeatherPredictor(model, jax.tree.map(jnp.asarray, loaded),
+                            buckets=(4,))
+    out = pred(w, c, y, i)
+    direct = model.apply(params, jnp.asarray(w), jnp.asarray(c),
+                         jnp.asarray(y), jnp.asarray(i),
+                         jnp.zeros(w.shape, bool))
+    np.testing.assert_allclose(out, np.asarray(direct), atol=1e-6)

@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                         " slower — see BASELINE.md; kept for A/B)")
     p.add_argument("--batch-size", default=256, type=int,
                    help="max padding bucket (see serve.DEFAULT_BUCKETS)")
+    p.add_argument("--moe-experts", default=0, type=int,
+                   help="must match the checkpoint's --moe-experts")
+    p.add_argument("--moe-top-k", default=2, type=int)
     return p
 
 
@@ -70,6 +73,7 @@ def run(args: argparse.Namespace) -> dict:
         attention_impl=resolve_attention_impl(
             args.attention_impl, args.model_size, mode="eval"),
         max_len=t, buckets=buckets,
+        num_experts=args.moe_experts, moe_top_k=args.moe_top_k,
     )
     outputs = predictor(weather, coords, year, interval,
                         weather_feature_mask=mask)

@@ -16,8 +16,11 @@ TPU-first design notes:
     back.
   * No [S, E, C] one-hot dispatch tensor (the classic Mesh-TF einsum
     needs S*E*C elements — gigabytes at B=288, T=365). Dispatch is a
-    scatter into [E, C, H] and combine is a gather, with the
-    position-in-expert computed from an [S, E] running count (cumsum).
+    per-row scatter into [E, C, H] and combine is a gather, with the
+    position-in-expert computed from a [T*k, E] running count (cumsum).
+  * Dispatch groups are batch ROWS (GShard's groups), each with its own
+    capacity: row i's routing is independent of the rest of the batch,
+    so serving may zero-pad to a bucket without perturbing real rows.
   * Router runs in float32 (softmax stability under bf16 compute).
   * The per-expert FFN is one batched einsum pair [E,C,H]x[E,H,F] —
     large, MXU-shaped matmuls.
@@ -76,27 +79,30 @@ class MoEFFN(nn.Module):
         if not 0 < k <= e:
             raise ValueError(f"top_k={k} must be in [1, num_experts={e}]")
         b, t, _ = x.shape
-        s = b * t
-        cap = expert_capacity(s, e, k, self.capacity_factor)
+        # GShard-style grouping: each batch row is its own dispatch group
+        # with its own capacity. Routing for row i is then independent of
+        # the rest of the batch — serving may zero-pad to a bucket without
+        # changing real rows' results (tests/test_serve.py), and the
+        # position-in-expert cumsum shrinks from B*T*k to T*k per row.
+        cap = expert_capacity(t, e, k, self.capacity_factor)
 
         # --- router (float32) ---------------------------------------
-        xf = x.reshape(s, h)
         logits = nn.Dense(
             e, kernel_init=torch_linear_kernel_init(),
             bias_init=torch_linear_bias_init(h), name="router",
             dtype=jnp.float32,
-        )(xf.astype(jnp.float32))                                 # [S, E]
+        )(x.astype(jnp.float32))                                  # [B, T, E]
         probs = jax.nn.softmax(logits, axis=-1)
-        gate, idx = jax.lax.top_k(probs, k)                       # [S, k]
+        gate, idx = jax.lax.top_k(probs, k)                       # [B, T, k]
         gate = gate / jnp.maximum(
             jnp.sum(gate, axis=-1, keepdims=True), 1e-9)
 
-        # --- aux losses (Switch balance + z-loss) --------------------
+        # --- aux losses (Switch balance + z-loss), batch-global ------
         # f_e: fraction of routed (token, slot) assignments per expert;
         # P_e: mean router prob. e * sum(f*P) == 1 at perfect balance.
-        assign = jax.nn.one_hot(idx, e, dtype=jnp.float32)        # [S, k, E]
-        density = jnp.mean(jnp.sum(assign, axis=1), axis=0)       # [E]
-        balance = e * jnp.sum(density / k * jnp.mean(probs, axis=0))
+        assign = jax.nn.one_hot(idx, e, dtype=jnp.float32)     # [B, T, k, E]
+        density = jnp.mean(jnp.sum(assign, axis=2), axis=(0, 1))  # [E]
+        balance = e * jnp.sum(density / k * jnp.mean(probs, axis=(0, 1)))
         z = jax.scipy.special.logsumexp(logits, axis=-1)
         aux = balance + Z_LOSS_SCALE * jnp.mean(jnp.square(z))
         if not self.is_initializing():
@@ -105,24 +111,27 @@ class MoEFFN(nn.Module):
             self.sow("moe", "aux_loss", aux,
                      reduce_fn=lambda a, b: a + b, init_fn=lambda: 0.0)
 
-        # --- position-in-expert + capacity drop ----------------------
-        # Running count over tokens gives each (token, slot) its slot
-        # index inside its expert's buffer; slot order (k-major within a
-        # token) matches GShard's priority: earlier tokens & higher-gate
-        # slots win the capacity race.
-        flat_idx = idx.reshape(s * k)                             # token-major
-        onehot = jax.nn.one_hot(flat_idx, e, dtype=jnp.int32)     # [S*k, E]
-        pos = (jnp.cumsum(onehot, axis=0) - onehot)               # exclusive
-        pos = jnp.take_along_axis(pos, flat_idx[:, None], axis=1)[:, 0]
+        # --- position-in-expert + capacity drop (per row) ------------
+        # Running count over a row's tokens gives each (token, slot) its
+        # slot index inside its expert's per-row buffer; slot order
+        # (k-major within a token) matches GShard's priority: earlier
+        # tokens & higher-gate slots win the capacity race.
+        flat_idx = idx.reshape(b, t * k)                       # token-major
+        onehot = jax.nn.one_hot(flat_idx, e, dtype=jnp.int32)  # [B, T*k, E]
+        pos = (jnp.cumsum(onehot, axis=1) - onehot)            # exclusive
+        pos = jnp.take_along_axis(pos, flat_idx[..., None], axis=2)[..., 0]
         keep = pos < cap
         # Dropped tokens scatter into the sacrificial slot `cap`.
         pos = jnp.where(keep, pos, cap)
 
-        # --- dispatch: scatter tokens into [E, cap+1, H] --------------
-        xk = jnp.repeat(xf.astype(self.dtype), k, axis=0)         # [S*k, H]
-        buf = jnp.zeros((e, cap + 1, h), self.dtype)
-        buf = buf.at[flat_idx, pos].set(xk, mode="drop")
-        expert_in = buf[:, :cap]                                  # [E, C, H]
+        # --- dispatch: per-row scatter into [E, cap+1, H] ------------
+        xk = jnp.repeat(x.astype(self.dtype), k, axis=1)       # [B, T*k, H]
+
+        def dispatch_row(idx_r, pos_r, xk_r):
+            buf = jnp.zeros((e, cap + 1, h), self.dtype)
+            return buf.at[idx_r, pos_r].set(xk_r)[:, :cap]
+
+        expert_in = jax.vmap(dispatch_row)(flat_idx, pos, xk)  # [B,E,C,H]
 
         # --- per-expert FFN (batched MXU einsums) --------------------
         def expert_init(base):
@@ -140,20 +149,22 @@ class MoEFFN(nn.Module):
         b2 = self.param("expert_b2",
                         expert_init(torch_linear_bias_init(f)), (e, h))
 
-        hdn = jnp.einsum("ech,ehf->ecf", expert_in, w1.astype(self.dtype))
-        hdn = nn.relu(hdn + b1[:, None].astype(self.dtype))
+        hdn = jnp.einsum("bech,ehf->becf", expert_in, w1.astype(self.dtype))
+        hdn = nn.relu(hdn + b1[None, :, None].astype(self.dtype))
         if not deterministic and self.dropout_rate > 0.0:
             if dropout_rng is None:
                 dropout_rng = self.make_rng("dropout")
             from weathermodel_tpu.ops import dropout as fast_dropout
 
             hdn = fast_dropout.dropout(hdn, dropout_rng, self.dropout_rate)
-        out = jnp.einsum("ecf,efh->ech", hdn, w2.astype(self.dtype))
-        out = out + b2[:, None].astype(self.dtype)                # [E, C, H]
+        out = jnp.einsum("becf,efh->bech", hdn, w2.astype(self.dtype))
+        out = out + b2[None, :, None].astype(self.dtype)       # [B,E,C,H]
 
         # --- combine: gather each slot's output, gate-weighted -------
-        got = out[flat_idx, jnp.minimum(pos, cap - 1)]            # [S*k, H]
-        w = (gate.reshape(s * k) * keep).astype(self.dtype)
-        combined = jnp.sum(
-            (got * w[:, None]).reshape(s, k, h), axis=1)
-        return combined.reshape(b, t, h)
+        def combine_row(out_r, idx_r, pos_r):
+            return out_r[idx_r, jnp.minimum(pos_r, cap - 1)]
+
+        got = jax.vmap(combine_row)(out, flat_idx, pos)        # [B, T*k, H]
+        w = (gate.reshape(b, t * k) * keep).astype(self.dtype)
+        return jnp.sum(
+            (got * w[..., None]).reshape(b, t, k, h), axis=2)

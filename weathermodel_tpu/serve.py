@@ -84,10 +84,16 @@ def load_weather_predictor(
     attention_impl: str = "pallas",
     max_len: int = 365,
     buckets: Sequence[int] = DEFAULT_BUCKETS,
+    num_experts: int = 0,
+    moe_top_k: int = 2,
 ) -> WeatherPredictor:
+    """num_experts must match the checkpoint's training config (MoE
+    checkpoints carry expert_* params; a mismatch raises at restore)."""
     from weathermodel_tpu.cli.pretrain import load_pretrained_params, make_model
 
-    cfg = model_config_for_size(model_size, max_len=max_len)
+    cfg = model_config_for_size(model_size, max_len=max_len,
+                                num_experts=num_experts,
+                                moe_top_k=moe_top_k)
     model = make_model(model_name, cfg, attention_impl)
     params = load_pretrained_params(checkpoint_path, cfg.num_layers)
     params = jax.tree.map(jnp.asarray, params)
