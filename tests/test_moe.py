@@ -38,7 +38,8 @@ def _moe_reference(variables, x, top_k):
     logits = x @ p["router"]["kernel"] + p["router"]["bias"]
     probs = jax.nn.softmax(logits, -1)
     gate, idx = jax.lax.top_k(probs, top_k)
-    gate = gate / gate.sum(-1, keepdims=True)
+    if top_k > 1:  # k=1 keeps the raw prob (Switch) for router gradient
+        gate = gate / gate.sum(-1, keepdims=True)
     w1, b1 = p["expert_w1"], p["expert_b1"]
     w2, b2 = p["expert_w2"], p["expert_b2"]
     # all experts on all tokens [S, E, H], then pick the routed ones
@@ -301,3 +302,56 @@ def test_trainer_rejects_conflicting_model_axis_flags():
         PretrainTrainer(
             WeatherBERT(CFG), "weatherbert", CFG, TrainConfig(),
             make_loaders=None, seq_parallel=2, tensor_parallel=2)
+
+
+def test_top1_router_receives_task_gradient():
+    """Switch top-1 gates by the RAW router prob so the task loss
+    back-propagates into the router (a normalized k=1 gate is identically
+    1.0 and would starve it)."""
+    h, f, e = 8, 16, 4
+    moe = MoEFFN(h, f, e, top_k=1, capacity_factor=2.0, dropout_rate=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 16, h))
+    variables = moe.init(jax.random.PRNGKey(8), x)
+
+    def task_loss(v):
+        return jnp.sum(jnp.square(moe.apply(v, x, deterministic=True)))
+
+    g = jax.grad(task_loss)(variables)
+    gnorm = float(jnp.linalg.norm(g["params"]["router"]["kernel"]))
+    assert gnorm > 1e-6, gnorm
+
+
+def test_ep_indivisible_experts_raise():
+    mesh = make_mesh(4, 2)
+    with pytest.raises(ValueError, match="divisible"):
+        param_sharding_rules(("encoder", "layer_0", "moe", "expert_w1"),
+                             (3, 64, 256), mesh)
+
+
+def test_cli_moe_rejects_non_transformer_models():
+    from weathermodel_tpu.cli.pretrain import build_parser, run
+
+    args = build_parser().parse_args([
+        "--model", "mlp", "--moe-experts", "4"])
+    with pytest.raises(ValueError, match="moe-experts"):
+        run(args)
+
+
+def test_serve_moe_mismatch_raises(tmp_path):
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from weathermodel_tpu.serve import load_weather_predictor
+
+    dense = WeatherBERT(ModelConfig(num_heads=4, num_layers=2,
+                                    hidden_dim_factor=16, max_len=T))
+    batch = _batch(2)
+    params = _init_params(dense, batch)
+    ck = ocp.StandardCheckpointer()
+    ck.save(os.path.abspath(str(tmp_path / "best")), params)
+    ck.wait_until_finished()
+    with pytest.raises(ValueError, match="lacks MoE"):
+        load_weather_predictor(str(tmp_path / "best"), model_size="mini",
+                               attention_impl="xla", max_len=T,
+                               num_experts=4)

@@ -168,6 +168,13 @@ def run(args: argparse.Namespace) -> dict:
     if args.model == "weatherformermixture" and k == 1:
         k = 7   # reference weatherformer_mixture.py:24
 
+    if args.moe_experts > 0 and args.model in ("mlp", "weathercnn"):
+        # these models have no transformer FFN to replace; silently
+        # training dense under an MoE flag would mislead
+        raise ValueError(
+            f"--moe-experts is not supported for --model {args.model} "
+            "(no transformer encoder trunk)"
+        )
     mcfg = model_config_for_size(
         args.model_size, k=k, compute_dtype=args.compute_dtype,
         num_experts=args.moe_experts, moe_top_k=args.moe_top_k,

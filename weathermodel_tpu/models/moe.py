@@ -27,17 +27,17 @@ TPU-first design notes:
 
 Load balancing: the Switch aux loss (num_experts * sum_e f_e * P_e,
 == 1 at perfect balance) plus a small router z-loss, sown into the
-'moe' collection; train/steps.py adds ``cfg.moe_aux_weight *`` their sum
-to the objective.
+'moe' collection; train/steps.py adds ``cfg.moe_aux_weight *`` the MEAN
+over layers to the objective (layer-count-invariant, so one weight works
+for 2-layer test configs and the 8-layer flagship alike).
 """
-
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from weathermodel_tpu.models.blocks import (
+    _dropout,
     torch_linear_bias_init,
     torch_linear_kernel_init,
 )
@@ -73,8 +73,8 @@ class MoEFFN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
-                 dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
         h, f, e, k = self.hidden_dim, self.ffn_dim, self.num_experts, self.top_k
         if not 0 < k <= e:
             raise ValueError(f"top_k={k} must be in [1, num_experts={e}]")
@@ -94,8 +94,13 @@ class MoEFFN(nn.Module):
         )(x.astype(jnp.float32))                                  # [B, T, E]
         probs = jax.nn.softmax(logits, axis=-1)
         gate, idx = jax.lax.top_k(probs, k)                       # [B, T, k]
-        gate = gate / jnp.maximum(
-            jnp.sum(gate, axis=-1, keepdims=True), 1e-9)
+        if k > 1:
+            # Mixtral-style renormalized top-k weights. For k == 1 keep
+            # the RAW router prob (Switch): normalizing would make the
+            # gate identically 1.0 and cut the router's task gradient —
+            # it would then train on the balance loss alone.
+            gate = gate / jnp.maximum(
+                jnp.sum(gate, axis=-1, keepdims=True), 1e-9)
 
         # --- aux losses (Switch balance + z-loss), batch-global ------
         # f_e: fraction of routed (token, slot) assignments per expert;
@@ -151,12 +156,9 @@ class MoEFFN(nn.Module):
 
         hdn = jnp.einsum("bech,ehf->becf", expert_in, w1.astype(self.dtype))
         hdn = nn.relu(hdn + b1[None, :, None].astype(self.dtype))
-        if not deterministic and self.dropout_rate > 0.0:
-            if dropout_rng is None:
-                dropout_rng = self.make_rng("dropout")
-            from weathermodel_tpu.ops import dropout as fast_dropout
-
-            hdn = fast_dropout.dropout(hdn, dropout_rng, self.dropout_rate)
+        # blocks._dropout honors ops.dropout.set_impl (bits8 default /
+        # "nn" ablation switch), same as every dense dropout site
+        hdn = _dropout(self, hdn, self.dropout_rate, deterministic)
         out = jnp.einsum("becf,efh->bech", hdn, w2.astype(self.dtype))
         out = out + b2[None, :, None].astype(self.dtype)       # [B,E,C,H]
 

@@ -34,6 +34,22 @@ def _tree(params) -> Dict:
     return params["params"] if "params" in params else params
 
 
+def has_moe_layers(params) -> bool:
+    """True if the param pytree contains MoE expert layers (models/moe.py,
+    a 'moe' submodule inside any encoder layer)."""
+    found = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            for key, val in node.items():
+                if key == "moe":
+                    found.append(True)
+                walk(val)
+
+    walk(_tree(params))
+    return bool(found)
+
+
 def load_pretrained(model_name: str, target_params, pretrained_params,
                     load_out_proj: bool = True):
     """Returns target_params with transferable subtrees replaced by the
@@ -50,12 +66,7 @@ def load_pretrained(model_name: str, target_params, pretrained_params,
             f"expected input dimension {tgt_in} but received {src_in}"
         )
 
-    def _is_moe(core):
-        enc = core.get("encoder", {})
-        return any("moe" in layer for layer in enc.values()
-                   if isinstance(layer, dict))
-
-    if _is_moe(src["core"]) != _is_moe(tgt["core"]):
+    if has_moe_layers(src["core"]) != has_moe_layers(tgt["core"]):
         raise ValueError(
             "FFN architecture mismatch: one checkpoint uses MoE layers "
             "(--moe-experts) and the other a dense FFN; build the target "

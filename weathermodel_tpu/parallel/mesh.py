@@ -86,7 +86,15 @@ def param_sharding_rules(path_tuple, shape, mesh: Mesh) -> P:
     if mesh.shape[MODEL_AXIS] == 1:
         return P()
     path = "/".join(str(p) for p in path_tuple)
-    if "expert_" in path and shape[0] % mesh.shape[MODEL_AXIS] == 0:
+    if "expert_" in path:
+        if shape[0] % mesh.shape[MODEL_AXIS] != 0:
+            # Silent replication here would quietly disable the
+            # advertised expert parallelism (and its memory scaling).
+            raise ValueError(
+                f"num_experts={shape[0]} not divisible by the mesh "
+                f"'model' axis ({mesh.shape[MODEL_AXIS]}); pick "
+                "--moe-experts as a multiple of --tensor-parallel"
+            )
         return P(MODEL_AXIS)
     if len(shape) == 2:
         if "qkv_proj" in path or "linear1" in path:

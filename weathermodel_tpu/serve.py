@@ -88,13 +88,22 @@ def load_weather_predictor(
     moe_top_k: int = 2,
 ) -> WeatherPredictor:
     """num_experts must match the checkpoint's training config (MoE
-    checkpoints carry expert_* params; a mismatch raises at restore)."""
+    checkpoints carry expert_* params; a mismatch raises here)."""
     from weathermodel_tpu.cli.pretrain import load_pretrained_params, make_model
+    from weathermodel_tpu.models.transfer import has_moe_layers
 
     cfg = model_config_for_size(model_size, max_len=max_len,
                                 num_experts=num_experts,
                                 moe_top_k=moe_top_k)
     model = make_model(model_name, cfg, attention_impl)
     params = load_pretrained_params(checkpoint_path, cfg.num_layers)
+    if has_moe_layers(params) != (num_experts > 0):
+        raise ValueError(
+            f"checkpoint {checkpoint_path} "
+            f"{'contains' if has_moe_layers(params) else 'lacks'} MoE "
+            f"expert params but the predictor was requested with "
+            f"num_experts={num_experts}; pass --moe-experts matching the "
+            "training config"
+        )
     params = jax.tree.map(jnp.asarray, params)
     return WeatherPredictor(model, params, buckets)
