@@ -43,7 +43,12 @@ def analytic_flops_per_sample(cfg, mode: str) -> float:
     (LN, softmax, dropout, Adam) excluded — standard MFU convention.
     """
     t, h, n_layers = cfg.max_len, cfg.hidden_dim, cfg.num_layers
-    macs = n_layers * (12 * t * h * h + 2 * t * t * h)
+    ffn_macs = 8 * t * h * h
+    if cfg.num_experts > 0:
+        # top-k routed MoE: each token does k expert FFNs + the router
+        # matmul (capacity padding/drops excluded — useful-FLOPs MFU)
+        ffn_macs = cfg.moe_top_k * 8 * t * h * h + t * h * cfg.num_experts
+    macs = n_layers * (4 * t * h * h + ffn_macs + 2 * t * t * h)
     macs += cfg.input_dim * t * h + t * h * cfg.output_dim
     fwd_flops = 2.0 * macs
     return fwd_flops if mode == "eval" else 3.0 * fwd_flops
@@ -87,7 +92,12 @@ def main():
     mesh = make_mesh()  # all chips on 'data'
     b = batch_per_chip * n_chips
 
-    cfg = model_config_for_size(size, compute_dtype="bfloat16")
+    # BENCH_MOE_EXPERTS>0 benches the expert-parallel MoE FFN variant
+    # (models/moe.py); the headline/default path stays dense.
+    moe_experts = int(os.environ.get("BENCH_MOE_EXPERTS", "0"))
+    cfg = model_config_for_size(
+        size, compute_dtype="bfloat16", num_experts=moe_experts,
+        moe_top_k=int(os.environ.get("BENCH_MOE_TOP_K", "2")))
     if objective == "elbo":
         from weathermodel_tpu.models import WeatherFormer
 
@@ -159,6 +169,9 @@ def main():
         file=sys.stderr,
     )
     metric_kind = "eval" if mode == "eval" else "pretrain"
+    if moe_experts > 0:
+        # no dense-baseline comparison for the MoE variant
+        model_tag += f"_moe{moe_experts}"
     # Hardware-grounded absolute: achieved dense TFLOP/s and % of v5e bf16
     # peak, from analytic FLOPs/sample (VERDICT r2 directive #2). This is
     # independent of the estimated PyTorch denominator.
@@ -169,7 +182,7 @@ def main():
     # quoting it against the forward-only eval path would inflate the
     # ratio ~3x — eval reports absolute numbers only
     vs_baseline = (round(per_chip / PYTORCH_GPU_BASELINE[size], 3)
-                   if mode != "eval" else None)
+                   if mode != "eval" and moe_experts == 0 else None)
     print(json.dumps({
         "metric": f"{metric_kind}_samples_per_sec_per_chip_{model_tag}_{size}",
         "value": round(per_chip, 2),

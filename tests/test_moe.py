@@ -141,7 +141,16 @@ def _run(mesh, params, batch, ep):
         params = shard_params(params, mesh)
     else:
         params = jax.device_put(params, replicated_sharding(mesh))
-    tx = make_optimizer()
+    # SGD, not Adam: the update is then LINEAR in the grad, so the
+    # EP-vs-DP comparison below has a deterministic tight bound. (Adam's
+    # first-step g/|g| normalization amplifies ulp-level GSPMD
+    # reduction-order noise on near-zero grads to the lr scale — an
+    # earlier Adam version of this test was flaky at any honest
+    # tolerance.)
+    import optax
+
+    tx = optax.inject_hyperparams(optax.sgd)(
+        learning_rate=jnp.float32(0.0))
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
     step = compile_step(make_train_step(model, "masked_mse", "weatherbert",
@@ -178,12 +187,10 @@ def test_ep_matches_replicated_dp():
     flat_dp = jax.tree.leaves(state_dp.params)
     flat_ep = jax.tree.leaves(state_ep.params)
     for a, b in zip(flat_dp, flat_ep):
-        # atol 1e-4: Adam divides by sqrt(v), so ulp-level grad noise from
-        # GSPMD reduction reordering is amplified toward the lr scale
-        # (1e-3) for near-zero grads; a REAL routing/sharding divergence
-        # shows up as ~2e-3 sign-flipped updates, well above this bound.
+        # SGD update = params - lr*grad: any routing/sharding divergence
+        # shows directly; only float reduction-order ulps remain.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-5, atol=1e-4)
+                                   rtol=5e-5, atol=1e-6)
 
 
 def test_train_objective_includes_aux():
