@@ -279,3 +279,406 @@ def test_loss_functions_match_reference(reference):
     our_m = np.asarray(our_losses.mixture_kl_divergence(
         *map(jnp.asarray, (z, mask, mu, var, mu_k, var_k, log_w))))
     np.testing.assert_allclose(our_m, ref_m, rtol=2e-5, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 extension: the variational, MLP and CNN-RNN families vs the REAL
+# package (the replica harness in test_yield_torch_parity.py covers the same
+# ground against hand-written torch; these close the circularity gap for
+# every remaining family with a runnable reference forward).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def reference_ext():
+    """Import the remaining reference model families (read-only)."""
+    if "dotenv" not in sys.modules:
+        sys.modules["dotenv"] = types.SimpleNamespace(
+            load_dotenv=lambda *a, **k: None
+        )
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        from src.base_models.weather_cnn import WeatherCNN as RefCNN
+        from src.crop_yield.models.cnnrnn_yield_model import (
+            CNNRNNYieldModel as RefCNNRNN,
+        )
+        from src.crop_yield.models.weatherformer_yield_model import (
+            WeatherFormerYieldModel as RefFormerYield,
+        )
+        from src.pretraining.models.mlp import MLP as RefMLP
+        from src.pretraining.models.weatherformer import (
+            WeatherFormer as RefFormer,
+        )
+        from src.pretraining.models.weatherformer_mixture import (
+            WeatherFormerMixture as RefMixture,
+        )
+        from src.pretraining.models.weatherformer_sinusoid import (
+            WeatherFormerSinusoid as RefSinusoid,
+        )
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    return types.SimpleNamespace(
+        WeatherCNN=RefCNN, CNNRNN=RefCNNRNN, FormerYield=RefFormerYield,
+        MLP=RefMLP, Former=RefFormer, Mixture=RefMixture, Sinusoid=RefSinusoid,
+    )
+
+
+def test_weatherformer_forward_matches_reference(reference_ext):
+    """mu/log-var split + var clamp (reference weatherformer.py:61-94)."""
+    from weathermodel_tpu.models.weatherformer import WeatherFormer
+
+    x = _inputs(10)
+    model = WeatherFormer(CFG)
+    params = model.init(jax.random.PRNGKey(0), *map(jnp.asarray, x))
+    mu_ours, var_ours = model.apply(params, *map(jnp.asarray, x))
+
+    ref = reference_ext.Former(F, F, CPU, **SIZE_KW).eval()
+    _load_flax_into_reference_bert(ref, params)
+    with torch.no_grad():
+        mu_t, var_t = ref(*map(_t, x))
+    np.testing.assert_allclose(np.asarray(mu_ours), mu_t.numpy(),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_ours), var_t.numpy(),
+                               atol=2e-5, rtol=1e-4)
+
+
+def _copy_prior_params(ref, p, names):
+    with torch.no_grad():
+        for name in names:
+            getattr(ref, name).copy_(_t(p[name]))
+
+
+def test_weatherformer_sinusoid_matches_reference(reference_ext):
+    """Sinusoidal prior mu_p = sum_k A_k sin(f_k * scaled_pos + phi_k) and
+    learnable log-variance prior (reference weatherformer_sinusoid.py:90-125)."""
+    import dataclasses as dc
+
+    from weathermodel_tpu.models.weatherformer import WeatherFormerSinusoid
+
+    cfg = dc.replace(CFG, k=3)
+    x = _inputs(11)
+    model = WeatherFormerSinusoid(cfg)
+    params = model.init(jax.random.PRNGKey(1), *map(jnp.asarray, x))
+    ours = model.apply(params, *map(jnp.asarray, x))
+
+    ref = reference_ext.Sinusoid(F, F, k=3, device=CPU, **SIZE_KW).eval()
+    _load_flax_into_reference_bert(ref, params)
+    _copy_prior_params(ref, params["params"],
+                       ("frequency", "phase", "amplitude", "log_var_prior"))
+    with torch.no_grad():
+        theirs = ref(*map(_t, x))
+    for o, t_, name in zip(ours, theirs, ("mu_x", "var_x", "mu_p", "var_p")):
+        np.testing.assert_allclose(np.asarray(o), t_.numpy(), atol=2e-5,
+                                   rtol=1e-4, err_msg=name)
+
+
+def test_weatherformer_mixture_matches_reference(reference_ext):
+    """K sinusoidal component means, per-component log-variances and
+    log-softmax mixture weights (reference weatherformer_mixture.py:81-147)."""
+    import dataclasses as dc
+
+    from weathermodel_tpu.models.weatherformer import WeatherFormerMixture
+
+    cfg = dc.replace(CFG, k=3)
+    x = _inputs(12)
+    model = WeatherFormerMixture(cfg)
+    params = model.init(jax.random.PRNGKey(2), *map(jnp.asarray, x))
+    ours = model.apply(params, *map(jnp.asarray, x))
+
+    ref = reference_ext.Mixture(F, F, CPU, k=3, **SIZE_KW).eval()
+    _load_flax_into_reference_bert(ref, params)
+    _copy_prior_params(
+        ref, params["params"],
+        ("frequency", "phase", "amplitude", "log_var_k", "mixture_logits"))
+    with torch.no_grad():
+        theirs = ref(*map(_t, x))
+    names = ("mu_x", "var_x", "mu_k", "var_k", "log_w_k")
+    for o, t_, name in zip(ours, theirs, names):
+        np.testing.assert_allclose(np.asarray(o), t_.numpy(), atol=2e-5,
+                                   rtol=1e-4, err_msg=name)
+
+
+def test_mlp_forward_matches_reference(reference_ext):
+    """Per-timestep 31 -> hidden -> GELU -> 6 MLP (reference mlp.py:34-66).
+    Output-column-to-feature assignment differs by a fixed permutation only
+    (reference keeps [7,8,11,1,2,29] order, ours sorts); the forward map is
+    identical for identical weights."""
+    from weathermodel_tpu.models.mlp import WeatherMLP
+
+    x = _inputs(13)
+    model = WeatherMLP(CFG, hidden_dim=32)
+    params = model.init(jax.random.PRNGKey(3), jnp.asarray(x[0]))
+    ours = np.asarray(model.apply(params, jnp.asarray(x[0])))
+
+    ref = reference_ext.MLP(F, CPU, hidden_dim=32, max_len=T).eval()
+    p = params["params"]
+    with torch.no_grad():
+        ref.mlp[0].weight.copy_(_t(p["fc1"]["kernel"]).T)
+        ref.mlp[0].bias.copy_(_t(p["fc1"]["bias"]))
+        ref.mlp[2].weight.copy_(_t(p["fc2"]["kernel"]).T)
+        ref.mlp[2].bias.copy_(_t(p["fc2"]["bias"]))
+        theirs = ref(*map(_t, x)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-4)
+
+
+def test_weatherformer_yield_matches_reference(reference_ext, monkeypatch):
+    """Variational yield composition: reparameterized z = mu + sqrt(var)*eps,
+    impute, shared yield head; returns (pred, z, mu, var) (reference
+    weatherformer_yield_model.py:35-71). The reference draws eps via
+    torch.randn_like even in eval; we recover OUR eps from the returned z
+    and inject it, so the comparison is exact."""
+    from weathermodel_tpu.models.yield_models import WeatherFormerYieldModel
+
+    n_past = 2
+    t = (n_past + 1) * 52
+    import dataclasses as dc
+
+    cfg = dc.replace(CFG, max_len=t)
+    rng = np.random.default_rng(14)
+    weather = rng.normal(size=(B, t, F)).astype(np.float32)
+    coords = rng.uniform(-90, 90, size=(B, 2)).astype(np.float32)
+    year = np.full((B, t), 2010.0, dtype=np.float32)
+    interval = np.full((B, 1), 7.0, dtype=np.float32)
+    mask = np.ones((B, t, F), dtype=bool)
+    mask[:, :, [7, 8, 11, 1, 2, 29]] = False
+    y_past = rng.normal(size=(B, n_past + 1)).astype(np.float32)
+    x = (weather, coords, year, interval, mask, y_past)
+
+    model = WeatherFormerYieldModel(cfg, n_past_years=n_past)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        *map(jnp.asarray, x))
+    pred, z, mu, var = model.apply(params, *map(jnp.asarray, x),
+                                   rngs={"sample": jax.random.PRNGKey(7)})
+    eps = np.asarray((z - mu) / jnp.sqrt(var))
+
+    ref = reference_ext.FormerYield(
+        "weatherformer_yield", CPU, weather_dim=F, n_past_years=n_past,
+        num_heads=cfg.num_heads, num_layers=cfg.num_layers,
+        hidden_dim_factor=cfg.hidden_dim_factor, max_len=t,
+    ).eval()
+    _load_flax_into_reference_bert(
+        ref.weather_model, {"params": params["params"]["weather_model"]})
+    head = params["params"]["yield_head"]
+    with torch.no_grad():
+        for torch_lin, fl in (
+            (ref.weather_attention[0], head["attn_fc1"]),
+            (ref.weather_attention[2], head["attn_fc2"]),
+            (ref.yield_mlp[0], head["mlp_fc1"]),
+            (ref.yield_mlp[2], head["mlp_fc2"]),
+        ):
+            torch_lin.weight.copy_(_t(fl["kernel"]).T)
+            torch_lin.bias.copy_(_t(fl["bias"]))
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda x_, **kw: torch.from_numpy(eps))
+    with torch.no_grad():
+        pred_t, z_t, mu_t, var_t = ref(*map(_t, x))
+    np.testing.assert_allclose(np.asarray(mu), mu_t.numpy(), atol=2e-5,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(var), var_t.numpy(), atol=2e-5,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(z), z_t.numpy(), atol=5e-5,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(pred), pred_t.numpy(), atol=1e-4,
+                               rtol=1e-4)
+
+
+def _feature_major(weather, n_years):
+    """Permute [B, T, F] week-major data into a tensor whose FLAT MEMORY is
+    [B][year][feature][week] while keeping the [B, T, F] shape.
+
+    The reference WeatherCNN's `view(B, Y, W, F).reshape(B*Y*F, 1, W)`
+    (weather_cnn.py:117-130) slices raw flat memory, NOT per-feature weekly
+    series — each conv row interleaves ~W/F weeks x F features. Feeding it
+    this permuted tensor makes that reshape recover exact per-feature series,
+    i.e. the Khaki-paper intent our models/cnn.py WeatherCNN implements
+    directly (docs/PARITY.md ✚)."""
+    b, t, f = weather.shape
+    w = torch.from_numpy(weather).view(b, n_years, 52, f)
+    return w.permute(0, 1, 3, 2).contiguous().view(b, t, f)
+
+
+def test_reference_weather_cnn_convolves_flat_memory_slices(reference_ext):
+    """Documents the reference reshape bug (weather_cnn.py:117-130): its conv
+    rows are raw flat-memory slices, so output depends on the (week, feature)
+    memory interleave — permuting the input to feature-major memory (a pure
+    relabeling under per-feature-series semantics, row set unchanged) changes
+    the result. Our WeatherCNN transposes first (models/cnn.py:76-78 ✚)."""
+    torch.manual_seed(0)
+    ref = reference_ext.WeatherCNN(
+        weather_dim=5, output_dim=7, max_len=52, device=CPU).eval()
+    weather = np.random.default_rng(0).normal(size=(2, 52, 5)).astype(
+        np.float32)
+    with torch.no_grad():
+        out_raw = ref(torch.from_numpy(weather), None, None, None)
+        out_fixed = ref(_feature_major(weather, 1), None, None, None)
+    assert not np.allclose(out_raw.numpy(), out_fixed.numpy(), atol=1e-3)
+
+
+def test_cnnrnn_matches_reference_modulo_documented_reshape(reference_ext):
+    """Full CNN-RNN composition vs the REAL reference model
+    (cnnrnn_yield_model.py:12-124): weather conv pyramid + soil CNN +
+    normalized coords/mean-year/y_past -> LSTM -> head, with OUR weights
+    copied in. The reference receives feature-major-memory weather so its
+    documented flat-memory reshape (see test above) yields the intended
+    per-feature series; everything else (convs, pooling, FCs, its own
+    normalize_year_interval_coords, LSTM, head) runs the reference's code."""
+    from tests.test_yield_torch_parity import _copy_convs, _copy_lstm
+    from weathermodel_tpu.models.cnn import CNNRNNYieldModel
+
+    n_past = 1
+    n_years = n_past + 1
+    t = n_years * 52
+    b = 4
+    rng = np.random.default_rng(15)
+    weather = rng.normal(size=(b, t, F)).astype(np.float32)
+    coords = rng.uniform(-90, 90, size=(b, 2)).astype(np.float32)
+    year = np.broadcast_to(
+        np.linspace(2000.0, 2010.0, t, dtype=np.float32), (b, t)).copy()
+    interval = np.full((b, 1), 7.0, dtype=np.float32)
+    mask = np.zeros((b, t, F), dtype=bool)
+    y_past = rng.normal(size=(b, n_years)).astype(np.float32)
+    soil = rng.normal(size=(b, n_years, 11, 6)).astype(np.float32)
+
+    model = CNNRNNYieldModel(weather_dim=F, n_past_years=n_past)
+    args = (jnp.asarray(weather), jnp.asarray(coords), jnp.asarray(year),
+            jnp.asarray(interval), jnp.asarray(mask), jnp.asarray(y_past),
+            jnp.asarray(soil))
+    params = model.init(jax.random.PRNGKey(8), *args)
+    ours = np.asarray(model.apply(params, *args))
+
+    ref = reference_ext.CNNRNN(
+        "cnnrnn_yield", CPU, weather_dim=F, n_past_years=n_past).eval()
+    fl = params["params"]
+    _copy_convs(ref.cnn.weather_cnn, fl["cnn"])
+    _copy_convs(ref.soil_cnn.soil_cnn, fl["soil_cnn"],
+                names=("conv1", "conv2", "conv3"))
+    with torch.no_grad():
+        ref.cnn.weather_fc[0].weight.copy_(_t(fl["cnn"]["fc"]["kernel"]).T)
+        ref.cnn.weather_fc[0].bias.copy_(_t(fl["cnn"]["fc"]["bias"]))
+        # soil per-measurement FC lives inside the conv Sequential (index 8)
+        ref.soil_cnn.soil_cnn[8].weight.copy_(
+            _t(fl["soil_cnn"]["per_measure_fc"]["kernel"]).T)
+        ref.soil_cnn.soil_cnn[8].bias.copy_(
+            _t(fl["soil_cnn"]["per_measure_fc"]["bias"]))
+        ref.soil_cnn.soil_fc[0].weight.copy_(
+            _t(fl["soil_cnn"]["soil_fc"]["kernel"]).T)
+        ref.soil_cnn.soil_fc[0].bias.copy_(
+            _t(fl["soil_cnn"]["soil_fc"]["bias"]))
+        ref.output_layer.weight.copy_(_t(fl["output_layer"]["kernel"]).T)
+        ref.output_layer.bias.copy_(_t(fl["output_layer"]["bias"]))
+    _copy_lstm(ref.lstm, fl["OptimizedLSTMCell_0"])
+
+    with torch.no_grad():
+        theirs = ref(
+            _feature_major(weather, n_years), torch.from_numpy(coords),
+            torch.from_numpy(year), torch.from_numpy(interval),
+            torch.from_numpy(mask), torch.from_numpy(soil),
+            torch.from_numpy(y_past),
+        ).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def reference_prior_yield():
+    """The sinusoid/mixture variational yield compositions (read-only)."""
+    if "dotenv" not in sys.modules:
+        sys.modules["dotenv"] = types.SimpleNamespace(
+            load_dotenv=lambda *a, **k: None
+        )
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        from src.crop_yield.models.weatherformer_mixture_yield_model import (
+            WeatherFormerMixtureYieldModel as RefMixYield,
+        )
+        from src.crop_yield.models.weatherformer_sinusoid_yield_model import (
+            WeatherFormerSinusoidYieldModel as RefSinYield,
+        )
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    return types.SimpleNamespace(Sinusoid=RefSinYield, Mixture=RefMixYield)
+
+
+def _prior_yield_parity(our_cls, ref_cls, ref_name, prior_names, monkeypatch,
+                        out_names):
+    """Shared body: reparameterized z + prior-emitting encoder + shared yield
+    head vs the real reference composition (weatherformer_sinusoid_yield_
+    model.py:38-73 / weatherformer_mixture_yield_model.py:38-73), with OUR
+    eps recovered from the returned z and injected into torch.randn_like."""
+    import dataclasses as dc
+
+    n_past = 2
+    t = (n_past + 1) * 52
+    cfg = dc.replace(CFG, max_len=t, k=3)
+    rng = np.random.default_rng(16)
+    weather = rng.normal(size=(B, t, F)).astype(np.float32)
+    coords = rng.uniform(-90, 90, size=(B, 2)).astype(np.float32)
+    year = np.full((B, t), 2012.0, dtype=np.float32)
+    interval = np.full((B, 1), 7.0, dtype=np.float32)
+    mask = np.ones((B, t, F), dtype=bool)
+    mask[:, :, [7, 8, 11, 1, 2, 29]] = False
+    y_past = rng.normal(size=(B, n_past + 1)).astype(np.float32)
+    x = (weather, coords, year, interval, mask, y_past)
+
+    model = our_cls(cfg, n_past_years=n_past)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        *map(jnp.asarray, x))
+    ours = model.apply(params, *map(jnp.asarray, x),
+                       rngs={"sample": jax.random.PRNGKey(9)})
+    _, z, mu, var = ours[0], ours[1], ours[2], ours[3]
+    eps = np.asarray((z - mu) / jnp.sqrt(var))
+
+    ref = ref_cls(
+        ref_name, CPU, k=3, weather_dim=F, n_past_years=n_past,
+        num_heads=cfg.num_heads, num_layers=cfg.num_layers,
+        hidden_dim_factor=cfg.hidden_dim_factor, max_len=t,
+    ).eval()
+    wm = params["params"]["weather_model"]
+    _load_flax_into_reference_bert(ref.weather_model, {"params": wm})
+    _copy_prior_params(ref.weather_model, wm, prior_names)
+    head = params["params"]["yield_head"]
+    with torch.no_grad():
+        for torch_lin, fl in (
+            (ref.weather_attention[0], head["attn_fc1"]),
+            (ref.weather_attention[2], head["attn_fc2"]),
+            (ref.yield_mlp[0], head["mlp_fc1"]),
+            (ref.yield_mlp[2], head["mlp_fc2"]),
+        ):
+            torch_lin.weight.copy_(_t(fl["kernel"]).T)
+            torch_lin.bias.copy_(_t(fl["bias"]))
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda x_, **kw: torch.from_numpy(eps))
+    with torch.no_grad():
+        theirs = ref(*map(_t, x))
+    assert len(ours) == len(theirs) == len(out_names)
+    for o, t_, name in zip(ours, theirs, out_names):
+        np.testing.assert_allclose(np.asarray(o), t_.numpy(), atol=1e-4,
+                                   rtol=1e-4, err_msg=name)
+
+
+def test_weatherformer_sinusoid_yield_matches_reference(
+        reference_prior_yield, monkeypatch):
+    from weathermodel_tpu.models.yield_models import (
+        WeatherFormerSinusoidYieldModel,
+    )
+
+    _prior_yield_parity(
+        WeatherFormerSinusoidYieldModel, reference_prior_yield.Sinusoid,
+        "weatherformer_sinusoid_yield",
+        ("frequency", "phase", "amplitude", "log_var_prior"), monkeypatch,
+        ("yield", "z", "mu_x", "var_x", "mu_p", "var_p"))
+
+
+def test_weatherformer_mixture_yield_matches_reference(
+        reference_prior_yield, monkeypatch):
+    from weathermodel_tpu.models.yield_models import (
+        WeatherFormerMixtureYieldModel,
+    )
+
+    _prior_yield_parity(
+        WeatherFormerMixtureYieldModel, reference_prior_yield.Mixture,
+        "weatherformer_mixture_yield",
+        ("frequency", "phase", "amplitude", "log_var_k", "mixture_logits"),
+        monkeypatch,
+        ("yield", "z", "mu_x", "var_x", "mu_k", "var_k", "log_w_k"))

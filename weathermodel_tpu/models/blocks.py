@@ -50,6 +50,13 @@ def torch_dense(features: int, fan_in: int, name: Optional[str] = None,
     )
 
 
+def torch_gelu(x):
+    """Exact (erf) GELU — torch nn.GELU's default. flax nn.gelu defaults to
+    the tanh approximation, which deviates up to ~3e-4 — outside the 1e-5
+    parity tolerance vs the reference's yield heads / MLP."""
+    return nn.gelu(x, approximate=False)
+
+
 def sinusoidal_positional_encoding(max_len: int, hidden_dim: int) -> np.ndarray:
     """Classic 'Attention is All You Need' PE table [max_len, hidden_dim]
     (reference vanilla_pos_encoding.py:11-58). Computed once at trace time."""

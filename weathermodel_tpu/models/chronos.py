@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from weathermodel_tpu.models.blocks import torch_dense
+from weathermodel_tpu.models.blocks import torch_dense, torch_gelu
 from weathermodel_tpu.models.chronos_bolt import (
     CHRONOS_BOLT_TINY,
     ChronosBoltEncoder,
@@ -68,13 +68,13 @@ class ChronosYieldModel(nn.Module):
         # weather_attention = Linear(total,16) -> GELU -> Linear(16,1)
         # (reference :31-33)
         total = f * ENC_DIM
-        a = nn.gelu(torch_dense(16, total, name="attn_fc1")(emb))
+        a = torch_gelu(torch_dense(16, total, name="attn_fc1")(emb))
         attn = torch_dense(1, 16, name="attn_fc2")(a)
         attn = jax.nn.softmax(attn, axis=1)
         pooled = jnp.sum(emb * attn, axis=1)     # [B, F*D]
         x = jnp.concatenate([pooled, y_past], axis=1)
         fan_in = total + self.n_past_years + 1
-        x = nn.gelu(torch_dense(120, fan_in, name="mlp_fc1")(x))
+        x = torch_gelu(torch_dense(120, fan_in, name="mlp_fc1")(x))
         return torch_dense(1, 120, name="mlp_fc2")(x)
 
 

@@ -8,7 +8,7 @@ mlp_trainer.py:34). Loss: full-sequence MSE + per-feature MSE logging.
 import jax.numpy as jnp
 from flax import linen as nn
 
-from weathermodel_tpu.models.blocks import torch_dense
+from weathermodel_tpu.models.blocks import torch_dense, torch_gelu
 from weathermodel_tpu.utils.config import ModelConfig
 
 MLP_TARGET_FEATURES = (1, 2, 7, 8, 11, 29)
@@ -26,6 +26,6 @@ class WeatherMLP(nn.Module):
                  deterministic: bool = True):
         f = self.cfg.weather_dim
         x = torch_dense(self.hidden_dim, f, name="fc1")(weather)
-        x = nn.gelu(x)
+        x = torch_gelu(x)
         return torch_dense(len(MLP_TARGET_FEATURES), self.hidden_dim,
                            name="fc2")(x)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from weathermodel_tpu.models.blocks import torch_dense
+from weathermodel_tpu.models.blocks import torch_dense, torch_gelu
 from weathermodel_tpu.models.weatherbert import WeatherBERT
 from weathermodel_tpu.models.weatherformer import (
     WeatherFormer,
@@ -45,13 +45,13 @@ class _YieldHead(nn.Module):
     def __call__(self, weather, y_past):
         f = self.cfg.weather_dim
         attn = torch_dense(16, f, name="attn_fc1")(weather)
-        attn = nn.gelu(attn)
+        attn = torch_gelu(attn)
         attn = torch_dense(1, 16, name="attn_fc2")(attn)      # [B, T, 1]
         attn = jax.nn.softmax(attn, axis=1)
         pooled = jnp.sum(weather * attn, axis=1)               # [B, F]
         x = jnp.concatenate([pooled, y_past], axis=1)
         x = torch_dense(120, f + self.n_past_years + 1, name="mlp_fc1")(x)
-        x = nn.gelu(x)
+        x = torch_gelu(x)
         return torch_dense(1, 120, name="mlp_fc2")(x)          # [B, 1]
 
 
@@ -83,7 +83,15 @@ class WeatherBERTYieldModel(nn.Module):
 
 class WeatherFormerYieldModel(nn.Module):
     """Returns (yield_pred, z, mu_x, var_x) — reference
-    weatherformer_yield_model.py:8-71."""
+    weatherformer_yield_model.py:8-71.
+
+    NOTE on z semantics (reference inconsistency, preserved faithfully):
+    this base composition returns the IMPUTED z (weatherformer_yield_model.
+    py:58-71 reassigns z before returning), while the sinusoid/mixture
+    subclasses keep a separate z_imputed and return the RAW reparameterized
+    sample (weatherformer_sinusoid_yield_model.py:58-72,
+    weatherformer_mixture_yield_model.py:59-73). Verified against the real
+    package in tests/test_reference_parity.py."""
 
     cfg: ModelConfig
     n_past_years: int
@@ -104,7 +112,7 @@ class WeatherFormerYieldModel(nn.Module):
         out = _YieldHead(self.cfg, self.n_past_years, name="yield_head")(
             imputed, y_past
         )
-        return out, z
+        return out, z, imputed
 
     @nn.compact
     def __call__(self, weather, coords, year, interval, weather_feature_mask,
@@ -113,9 +121,9 @@ class WeatherFormerYieldModel(nn.Module):
         mu_x, var_x = self.encode(weather, coords, year, interval,
                                   weather_feature_mask, deterministic)
         sample_key = self.make_rng("sample")
-        out, z = self.head(mu_x, var_x, weather, weather_feature_mask,
-                           y_past, sample_key)
-        return out, z, mu_x, var_x
+        out, _, imputed = self.head(mu_x, var_x, weather,
+                                    weather_feature_mask, y_past, sample_key)
+        return out, imputed, mu_x, var_x
 
 
 class WeatherFormerSinusoidYieldModel(WeatherFormerYieldModel):
@@ -136,7 +144,7 @@ class WeatherFormerSinusoidYieldModel(WeatherFormerYieldModel):
             weather, coords, year, interval, weather_feature_mask,
             deterministic)
         sample_key = self.make_rng("sample")
-        out, z = self.head(mu_x, var_x, weather, weather_feature_mask,
+        out, z, _ = self.head(mu_x, var_x, weather, weather_feature_mask,
                            y_past, sample_key)
         return out, z, mu_x, var_x, mu_p, var_p
 
@@ -159,7 +167,7 @@ class WeatherFormerMixtureYieldModel(WeatherFormerYieldModel):
             weather, coords, year, interval, weather_feature_mask,
             deterministic)
         sample_key = self.make_rng("sample")
-        out, z = self.head(mu_x, var_x, weather, weather_feature_mask,
+        out, z, _ = self.head(mu_x, var_x, weather, weather_feature_mask,
                            y_past, sample_key)
         return out, z, mu_x, var_x, mu_k, var_k, log_w_k
 
@@ -197,7 +205,7 @@ class WeatherAutoencoderSineYieldModel(nn.Module):
         )
         mu_x = _impute(weather, pred, weather_feature_mask)
         h = torch_dense(4 * f, f, name="log_var_fc1")(mu_x)
-        log_var_x = torch_dense(f, 4 * f, name="log_var_fc2")(nn.gelu(h))
+        log_var_x = torch_dense(f, 4 * f, name="log_var_fc2")(torch_gelu(h))
         var_x = jnp.clip(jnp.exp(log_var_x), 1e-8, 1.0)
 
         # sinusoidal prior over positions
@@ -248,7 +256,7 @@ class WeatherAutoencoderMixtureYieldModel(nn.Module):
         )
         mu_x = _impute(weather, pred, weather_feature_mask)
         h = torch_dense(4 * f, f, name="log_var_fc1")(mu_x)
-        log_var_x = torch_dense(f, 4 * f, name="log_var_fc2")(nn.gelu(h))
+        log_var_x = torch_dense(f, 4 * f, name="log_var_fc2")(torch_gelu(h))
         var_x = jnp.clip(jnp.exp(log_var_x), 1e-8, 1.0)
 
         mu_k = self.param("mu_k", _normal_init(0.1), (k, cfg.max_len, f))
