@@ -362,3 +362,36 @@ def test_serve_moe_mismatch_raises(tmp_path):
         load_weather_predictor(str(tmp_path / "best"), model_size="mini",
                                attention_impl="xla", max_len=T,
                                num_experts=4)
+
+
+def test_expert_remat_matches_unremat_grads():
+    """jax.checkpoint over dispatch->FFN->combine must be a pure memory/
+    compute trade: loss and grads identical to the unremat module, with
+    dropout ON (the key is drawn outside the region so the rematerialized
+    backward replays the same mask)."""
+    h, f, e = 16, 32, 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 12, h))
+
+    def loss_for(remat):
+        moe = MoEFFN(h, f, e, top_k=2, capacity_factor=1.5,
+                     dropout_rate=0.3, remat=remat)
+        variables = moe.init(
+            {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+            x, deterministic=False)
+
+        def loss_fn(params, x_):
+            out, _ = moe.apply(
+                {"params": params}, x_, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(3)}, mutable=["moe"])
+            return jnp.sum(jnp.square(out))
+
+        val, grads = jax.value_and_grad(loss_fn)(variables["params"], x)
+        return val, grads
+
+    v0, g0 = loss_for(False)
+    v1, g1 = loss_for(True)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5),
+        g0, g1)

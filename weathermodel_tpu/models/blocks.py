@@ -233,6 +233,7 @@ class TransformerEncoderLayer(nn.Module):
     num_experts: int = 0
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
+    moe_remat: bool = True
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
@@ -249,7 +250,8 @@ class TransformerEncoderLayer(nn.Module):
             ff = MoEFFN(
                 self.hidden_dim, self.ffn_dim, self.num_experts,
                 self.moe_top_k, self.moe_capacity_factor,
-                self.dropout_rate, self.dtype, name="moe",
+                self.dropout_rate, self.dtype, remat=self.moe_remat,
+                name="moe",
             )(x, deterministic=deterministic)
             ff = _dropout(self, ff, self.dropout_rate, deterministic)
             return nn.LayerNorm(
@@ -315,6 +317,7 @@ class TransformerEncoder(nn.Module):
     num_experts: int = 0
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
+    moe_remat: bool = True
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
@@ -331,6 +334,7 @@ class TransformerEncoder(nn.Module):
                 self.hidden_dim, self.num_heads, self.ffn_dim,
                 self.dropout_rate, self.attention_impl, self.dtype,
                 self.ffn_impl, self.num_experts, self.moe_top_k,
-                self.moe_capacity_factor, name=f"layer_{i}",
+                self.moe_capacity_factor, self.moe_remat,
+                name=f"layer_{i}",
             )(x, key_padding_mask, deterministic)
         return x

@@ -37,10 +37,22 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from weathermodel_tpu.models.blocks import (
-    _dropout,
     torch_linear_bias_init,
     torch_linear_kernel_init,
 )
+
+
+def _keyed_dropout(x, key, rate):
+    """blocks._dropout's impl dispatch (ops.dropout bits8 default / "nn"
+    ablation) with an explicit key instead of module.make_rng — the key is
+    drawn outside the jax.checkpoint region so the rematerialized backward
+    regenerates the identical mask."""
+    from weathermodel_tpu.ops import dropout as fast_dropout
+
+    if fast_dropout.get_impl() == "nn":
+        keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+        return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+    return fast_dropout.dropout(x, key, rate)
 
 # Router z-loss weight relative to the balance loss (ST-MoE's stabilizer:
 # penalizes drifting router logit magnitudes).
@@ -71,6 +83,13 @@ class MoEFFN(nn.Module):
     capacity_factor: float = 1.25
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    # Rematerialize the dispatch->expert-FFN->combine region in the
+    # backward pass instead of saving its activations. The saved residuals
+    # per layer drop from ~[B,E,C,6H] (expert_in + hidden + out) to the
+    # router's small integer/gate tensors — the [B,E,C,4H] hidden alone is
+    # 1.27 GB/layer at large B=288, which is what capped the single-chip
+    # MoE bench at B=96. Recompute cost is one extra fwd of the region.
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -129,16 +148,7 @@ class MoEFFN(nn.Module):
         # Dropped tokens scatter into the sacrificial slot `cap`.
         pos = jnp.where(keep, pos, cap)
 
-        # --- dispatch: per-row scatter into [E, cap+1, H] ------------
-        xk = jnp.repeat(x.astype(self.dtype), k, axis=1)       # [B, T*k, H]
-
-        def dispatch_row(idx_r, pos_r, xk_r):
-            buf = jnp.zeros((e, cap + 1, h), self.dtype)
-            return buf.at[idx_r, pos_r].set(xk_r)[:, :cap]
-
-        expert_in = jax.vmap(dispatch_row)(flat_idx, pos, xk)  # [B,E,C,H]
-
-        # --- per-expert FFN (batched MXU einsums) --------------------
+        # --- expert params -------------------------------------------
         def expert_init(base):
             def init(key, shape, dtype=jnp.float32):
                 keys = jax.random.split(key, shape[0])
@@ -154,19 +164,42 @@ class MoEFFN(nn.Module):
         b2 = self.param("expert_b2",
                         expert_init(torch_linear_bias_init(f)), (e, h))
 
-        hdn = jnp.einsum("bech,ehf->becf", expert_in, w1.astype(self.dtype))
-        hdn = nn.relu(hdn + b1[None, :, None].astype(self.dtype))
-        # blocks._dropout honors ops.dropout.set_impl (bits8 default /
-        # "nn" ablation switch), same as every dense dropout site
-        hdn = _dropout(self, hdn, self.dropout_rate, deterministic)
-        out = jnp.einsum("becf,efh->bech", hdn, w2.astype(self.dtype))
-        out = out + b2[None, :, None].astype(self.dtype)       # [B,E,C,H]
+        use_dropout = (not deterministic) and self.dropout_rate > 0.0
+        # Key drawn OUTSIDE the remat region so forward and rematerialized
+        # backward see the identical dropout stream.
+        drop_key = self.make_rng("dropout") if use_dropout else None
+        dtype, rate = self.dtype, self.dropout_rate
 
-        # --- combine: gather each slot's output, gate-weighted -------
-        def combine_row(out_r, idx_r, pos_r):
-            return out_r[idx_r, jnp.minimum(pos_r, cap - 1)]
+        def expert_compute(x_, w1_, b1_, w2_, b2_, flat_idx_, pos_, w_gate,
+                           drop_key_):
+            # dispatch: per-row scatter into [E, cap+1, H]
+            xk = jnp.repeat(x_.astype(dtype), k, axis=1)       # [B, T*k, H]
 
-        got = jax.vmap(combine_row)(out, flat_idx, pos)        # [B, T*k, H]
+            def dispatch_row(idx_r, pos_r, xk_r):
+                buf = jnp.zeros((e, cap + 1, h), dtype)
+                return buf.at[idx_r, pos_r].set(xk_r)[:, :cap]
+
+            expert_in = jax.vmap(dispatch_row)(flat_idx_, pos_, xk)
+
+            # per-expert FFN (batched MXU einsums)
+            hdn = jnp.einsum("bech,ehf->becf", expert_in, w1_.astype(dtype))
+            hdn = nn.relu(hdn + b1_[None, :, None].astype(dtype))
+            if use_dropout:
+                # same impl dispatch as blocks._dropout (bits8 default /
+                # "nn" ablation), but keyed explicitly for remat replay
+                hdn = _keyed_dropout(hdn, drop_key_, rate)
+            out = jnp.einsum("becf,efh->bech", hdn, w2_.astype(dtype))
+            out = out + b2_[None, :, None].astype(dtype)       # [B,E,C,H]
+
+            # combine: gather each slot's output, gate-weighted
+            def combine_row(out_r, idx_r, pos_r):
+                return out_r[idx_r, jnp.minimum(pos_r, cap - 1)]
+
+            got = jax.vmap(combine_row)(out, flat_idx_, pos_)  # [B, T*k, H]
+            return jnp.sum(
+                (got * w_gate[..., None]).reshape(b, t, k, h), axis=2)
+
+        if self.remat:
+            expert_compute = jax.checkpoint(expert_compute)
         w = (gate.reshape(b, t * k) * keep).astype(self.dtype)
-        return jnp.sum(
-            (got * w[..., None]).reshape(b, t, k, h), axis=2)
+        return expert_compute(x, w1, b1, w2, b2, flat_idx, pos, w, drop_key)

@@ -91,6 +91,7 @@ class WeatherEncoderCore(nn.Module):
             num_experts=cfg.num_experts,
             moe_top_k=cfg.moe_top_k,
             moe_capacity_factor=cfg.moe_capacity_factor,
+            moe_remat=cfg.moe_remat,
             name="encoder",
         )(x, src_key_padding_mask, deterministic)
         return x

@@ -39,6 +39,11 @@ class ModelConfig:
     moe_capacity_factor: float = 1.25
     # Weight on the sown Switch balance + z aux loss in the objective.
     moe_aux_weight: float = 0.01
+    # Rematerialize the expert dispatch/FFN/combine in the backward pass
+    # (models/moe.py). Lifts the [B,E,C,4H]-activation HBM ceiling that
+    # capped single-chip MoE batch size; one extra region forward of
+    # recompute.
+    moe_remat: bool = True
 
     @property
     def hidden_dim(self) -> int:
