@@ -34,7 +34,7 @@ def test_checkpoint_roundtrip(tmp_path):
     ck = Checkpointer(str(tmp_path))
     ck.save(3, state, best_val_loss=0.5, output_json={"losses": {"train": {}}})
     assert ck.latest_epoch() == 3
-    restored, epoch, best, oj = ck.restore(state)
+    restored, epoch, best, oj, mid = ck.restore(state)
     assert epoch == 3 and best == 0.5
     for a, b in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(restored.params)):

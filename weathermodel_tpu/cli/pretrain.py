@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "routed Mixture-of-Experts FFN, expert-parallel "
                         "over the mesh's 'model' axis (models/moe.py)")
     p.add_argument("--moe-top-k", default=2, type=int)
+    p.add_argument("--moe-remat", action="store_true",
+                   help="rematerialize the expert FFN in the backward pass "
+                        "(~3x larger batch fits in HBM, ~30%% slower per "
+                        "step single-chip — see BASELINE.md MoE section)")
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + optimizer moments over the 'data' "
                         "mesh axis (ZeRO-3-style; per-chip state memory / "
@@ -178,6 +182,7 @@ def run(args: argparse.Namespace) -> dict:
     mcfg = model_config_for_size(
         args.model_size, k=k, compute_dtype=args.compute_dtype,
         num_experts=args.moe_experts, moe_top_k=args.moe_top_k,
+        moe_remat=args.moe_remat,
     )
     tcfg = TrainConfig(
         batch_size=args.batch_size,

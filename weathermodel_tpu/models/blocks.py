@@ -233,7 +233,7 @@ class TransformerEncoderLayer(nn.Module):
     num_experts: int = 0
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
-    moe_remat: bool = True
+    moe_remat: bool = False
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
@@ -317,7 +317,7 @@ class TransformerEncoder(nn.Module):
     num_experts: int = 0
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
-    moe_remat: bool = True
+    moe_remat: bool = False
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):

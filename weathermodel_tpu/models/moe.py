@@ -88,8 +88,15 @@ class MoEFFN(nn.Module):
     # per layer drop from ~[B,E,C,6H] (expert_in + hidden + out) to the
     # router's small integer/gate tensors — the [B,E,C,4H] hidden alone is
     # 1.27 GB/layer at large B=288, which is what capped the single-chip
-    # MoE bench at B=96. Recompute cost is one extra fwd of the region.
-    remat: bool = True
+    # MoE bench at B=96; B=288 FITS with remat on. MEASURED single-chip
+    # throughput cost however is ~30% at equal batch and larger batches do
+    # not recover it (96/192/288 -> 218/208/203 vs 296 samples/s unremat;
+    # the step is dispatch-bound, so the region recompute is pure
+    # overhead). Default OFF; opt in when HBM is the binding constraint
+    # (more experts, longer T, or pre-pod single-chip debugging of a
+    # sharded config). On a pod the expert dim shards away E-fold and the
+    # pressure largely disappears.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,

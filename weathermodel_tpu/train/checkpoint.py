@@ -31,8 +31,22 @@ class Checkpointer:
         self._best_ckptr = ocp.StandardCheckpointer()
 
     def save(self, epoch: int, state: TrainState, best_val_loss: float,
-             output_json: dict) -> None:
+             output_json: dict, mid_epoch: Optional[dict] = None) -> None:
+        """Save full training state at `epoch`.
+
+        `mid_epoch` marks a PREEMPTION checkpoint taken inside epoch
+        `epoch` (SIGTERM-graceful stop, trainer._run_epoch): it records
+        {"batch_idx": completed steps, "sums": running loss sums} so resume
+        can fast-forward the deterministic loader/key chain and continue
+        the epoch exactly where it stopped."""
         meta = {"epoch": epoch, "best_val_loss": float(best_val_loss)}
+        if mid_epoch is not None:
+            meta["mid_epoch"] = mid_epoch
+        # the step may already exist: a preemption inside epoch N followed
+        # by N's boundary save (or a second preemption) reuses step N —
+        # the newer state always wins
+        if epoch in self.manager.all_steps():
+            self.manager.delete(epoch)
         self.manager.save(
             epoch,
             args=ocp.args.Composite(
@@ -60,7 +74,7 @@ class Checkpointer:
         )
         meta = restored["meta"]
         return (restored["state"], meta["epoch"], meta["best_val_loss"],
-                restored["output_json"])
+                restored["output_json"], meta.get("mid_epoch"))
 
     def save_best_params(self, params: Any) -> None:
         path = os.path.join(self.workdir, "best")

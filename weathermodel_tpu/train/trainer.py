@@ -203,6 +203,9 @@ class PretrainTrainer:
         self.start_epoch = 0
         self.best_val_loss = float("inf")
         self._last_epoch_batches = 0
+        # graceful-preemption machinery (SIGTERM -> checkpoint + stop)
+        self._stop_requested = False
+        self._resume_mid = None
         self.output_json = {
             "model_config": {
                 "model": model_name,
@@ -250,14 +253,31 @@ class PretrainTrainer:
         if self.checkpointer.latest_epoch() is None:
             logger.info("No checkpoint to resume from in %s", self.workdir)
             return
-        self.state, epoch, self.best_val_loss, self.output_json = (
+        self.state, epoch, self.best_val_loss, self.output_json, mid = (
             self.checkpointer.restore(self.state)
         )
-        self.start_epoch = epoch + 1
-        logger.info("Resumed from epoch %d (best val %.6f)",
-                    epoch, self.best_val_loss)
+        if mid is not None:
+            # preemption checkpoint taken INSIDE `epoch` — continue that
+            # epoch at the recorded step (exact: loader order and the
+            # per-epoch key chain are both deterministic in (seed, epoch))
+            self.start_epoch = epoch
+            self._resume_mid = mid
+            logger.info(
+                "Resumed mid-epoch %d at batch %d (best val %.6f)",
+                epoch, mid["batch_idx"], self.best_val_loss)
+        else:
+            self.start_epoch = epoch + 1
+            logger.info("Resumed from epoch %d (best val %.6f)",
+                        epoch, self.best_val_loss)
 
-    def _run_epoch(self, epoch: int, split: str) -> Dict[str, float]:
+    def _run_epoch(self, epoch: int, split: str,
+                   mid: Optional[dict] = None) -> Optional[Dict[str, float]]:
+        """One epoch over `split`. `mid` (train only) resumes inside the
+        epoch after a preemption checkpoint: the deterministic loader and
+        per-epoch key chain are fast-forwarded past the completed batches,
+        so the continued run is bit-identical to an uninterrupted one.
+        Returns None if a stop was requested mid-epoch (a preemption
+        checkpoint has then been written)."""
         train = split == "train"
         cfg = self.cfg
         n_masked = n_masked_features_for_epoch(
@@ -265,10 +285,16 @@ class PretrainTrainer:
         )
         lr = self.lr_schedule(epoch)
         seed_base = cfg.seed + (epoch * 2 + (0 if train else 1)) * 100003
-        loader = self.make_loaders(split, train, seed_base)
+        loader = iter(self.make_loaders(split, train, seed_base))
         sums: Dict[str, float] = {}
         n_batches = 0
         key = jax.random.PRNGKey(seed_base)
+        if mid is not None:
+            n_batches = int(mid["batch_idx"])
+            sums = dict(mid["sums"])
+            for _ in range(n_batches):
+                next(loader)                      # host-side skip, cheap
+                key, _ = jax.random.split(key)
         from weathermodel_tpu.parallel.mesh import prefetch_to_device
 
         for batch in prefetch_to_device(self.mesh, loader):
@@ -285,6 +311,16 @@ class PretrainTrainer:
             n_batches += 1
             for k, v in losses.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
+            if train and self._stop_requested:
+                self.checkpointer.save(
+                    epoch, self.state, self.best_val_loss, self.output_json,
+                    mid_epoch={"batch_idx": n_batches, "sums": sums},
+                )
+                logger.warning(
+                    "Preemption checkpoint written: epoch %d, batch %d "
+                    "(resume with --resume-from-checkpoint continues here "
+                    "exactly)", epoch, n_batches)
+                return None
         if n_batches == 0:
             raise RuntimeError(f"empty {split} loader at epoch {epoch}")
         if train:
@@ -328,6 +364,33 @@ class PretrainTrainer:
         self.output_json["model_config"]["optimal_lr"] = optimal
 
     def train(self) -> Dict[str, float]:
+        """Run the epoch loop. SIGTERM (the preemption notice on TPU pods
+        and most schedulers) triggers a graceful stop: the current step
+        finishes, a full-state checkpoint (mid-epoch if needed) is written,
+        and train() returns with "preempted": True. Resuming continues
+        bit-exactly (tests/test_preempt_resume.py)."""
+        import signal
+
+        old_handlers = {}
+
+        def _on_signal(signum, frame):
+            logger.warning(
+                "signal %d received — checkpointing at the next step "
+                "boundary, then stopping", signum)
+            self._stop_requested = True
+
+        for sig in (signal.SIGTERM,):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # not the main thread — no handler, no stop
+                pass
+        try:
+            return self._train_loop()
+        finally:
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
+
+    def _train_loop(self) -> Dict[str, float]:
         cfg = self.cfg
         if self.start_epoch == 0:
             self._maybe_find_optimal_lr()
@@ -339,9 +402,17 @@ class PretrainTrainer:
         n_chips = len(self.mesh.devices.flatten())
         for epoch in range(self.start_epoch, cfg.num_epochs):
             t0 = time.time()
+            mid = None
+            if self._resume_mid is not None and epoch == self.start_epoch:
+                mid, self._resume_mid = self._resume_mid, None
             if profile_dir and epoch == self.start_epoch + 1:
                 jax.profiler.start_trace(profile_dir)
-            train_losses = self._run_epoch(epoch, "train")
+            train_losses = self._run_epoch(epoch, "train", mid)
+            if train_losses is None:  # preempted; checkpoint written
+                write_output_json(self.workdir, self.model_name,
+                                  self.output_json)
+                return {"best_val_loss": self.best_val_loss,
+                        "preempted": True}
             if profile_dir and epoch == self.start_epoch + 1:
                 jax.profiler.stop_trace()
                 logger.info("profiler trace written to %s", profile_dir)
@@ -368,9 +439,20 @@ class PretrainTrainer:
                 self.best_val_loss = val_losses["total_loss"]
                 self.checkpointer.save_best_params(self.state.params)
             # reference cadence: epochs % 5 == 1 or final (base_trainer.py:110)
+            saved = False
             if epoch % cfg.checkpoint_every == 1 or epoch == cfg.num_epochs - 1:
                 self.checkpointer.save(
                     epoch, self.state, self.best_val_loss, self.output_json
                 )
+                saved = True
             write_output_json(self.workdir, self.model_name, self.output_json)
+            if self._stop_requested:  # signal arrived during validation
+                if not saved:
+                    self.checkpointer.save(
+                        epoch, self.state, self.best_val_loss,
+                        self.output_json)
+                logger.warning("Stopping after completed epoch %d "
+                               "(checkpoint written)", epoch)
+                return {"best_val_loss": self.best_val_loss,
+                        "preempted": True}
         return {"best_val_loss": self.best_val_loss}

@@ -41,9 +41,11 @@ class ModelConfig:
     moe_aux_weight: float = 0.01
     # Rematerialize the expert dispatch/FFN/combine in the backward pass
     # (models/moe.py). Lifts the [B,E,C,4H]-activation HBM ceiling that
-    # capped single-chip MoE batch size; one extra region forward of
-    # recompute.
-    moe_remat: bool = True
+    # capped the single-chip flagship MoE bench at B=96 (B=288 fits with
+    # it on), but measured ~30% SLOWER at equal batch and bigger batches
+    # do not recover it (dispatch-bound; BASELINE.md MoE section) —
+    # default off, opt in when memory is the binding constraint.
+    moe_remat: bool = False
 
     @property
     def hidden_dim(self) -> int:
