@@ -9,10 +9,17 @@ WeatherBERTYieldModel` / `src.utils.losses` and checking, on CPU fp32:
 
   * eval-mode forward parity with converted weights
     (reference weatherbert.py:84-121)
-  * a 20-step Adam training trajectory on the masked-MSE objective
-    (reference weatherbert_trainer.py:46-62 loss semantics)
+  * 20-step Adam training trajectories on the masked-MSE objective
+    (weatherbert_trainer.py:46-62) and the ELBO objective
+    (weatherformer_trainer.py:90-110, the SHIPPED train/steps.py loss)
   * the yield composition forward (weatherbert_yield_model.py:40-118)
   * the three closed-form loss functions (losses.py:10-87)
+  * the variational family: WeatherFormer / Sinusoid / Mixture forwards
+    and all three variational yield compositions (our sampled eps
+    injected for exact comparison)
+  * MLP, legacy Weatherformer v1 (granularity scaler + 4-phase PE), and
+    the full CNN-RNN composition modulo the reference WeatherCNN's
+    documented flat-memory reshape (demonstrated below)
 
 The reference package is imported read-only with a stub for its one missing
 dependency (python-dotenv, used only for env loading in constants.py:2-6).
@@ -682,3 +689,159 @@ def test_weatherformer_mixture_yield_matches_reference(
         ("frequency", "phase", "amplitude", "log_var_k", "mixture_logits"),
         monkeypatch,
         ("yield", "z", "mu_x", "var_x", "mu_k", "var_k", "log_w_k"))
+
+
+def test_elbo_adam_trajectory_matches_reference(reference_ext):
+    """20 ELBO Adam steps of the SHIPPED variational objective
+    (train/steps.py _objective_losses, objective='elbo') vs the real
+    reference WeatherFormer under torch.optim.Adam with the real
+    src/utils/losses functions composed exactly as
+    weatherformer_trainer.py:90-110 (recon = mean(-gll / n_masked),
+    kl = beta * mean(kl vs N(0,1)) / n_masked,
+    n_masked = mean over batch of per-sample masked counts)."""
+    from weathermodel_tpu.models.weatherformer import WeatherFormer
+    from weathermodel_tpu.train.steps import Batch, _objective_losses
+
+    n_steps, lr, beta = 20, 1e-3, 0.5
+    rng = np.random.default_rng(17)
+    weather = rng.normal(size=(n_steps, B, T, F)).astype(np.float32)
+    masks = rng.random((n_steps, B, T, F)) < 0.15
+    _, coords, year, interval, _ = _inputs(17)
+
+    model = WeatherFormer(CFG)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(weather[0]),
+                        jnp.asarray(coords), jnp.asarray(year),
+                        jnp.asarray(interval), jnp.asarray(masks[0]))
+
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        from src.utils.losses import (
+            compute_gaussian_kl_divergence,
+            gaussian_log_likelihood,
+        )
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+
+    ref = reference_ext.Former(F, F, CPU, **SIZE_KW)
+    _load_flax_into_reference_bert(ref, params)
+    _disable_torch_dropout(ref)
+    ref.train()
+    opt_t = torch.optim.Adam(ref.parameters(), lr=lr)
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    batch_coords = jnp.asarray(coords)
+    batch_year = jnp.asarray(year)
+    batch_interval = jnp.asarray(interval)
+
+    @jax.jit
+    def step(params, opt_state, w, m):
+        def loss_fn(p):
+            batch = Batch(weather=w, coords=batch_coords, year=batch_year,
+                          interval=batch_interval)
+            losses = _objective_losses(
+                model, "elbo", p, batch, m, beta,
+                deterministic=True, rngs=None, sample_key=None)
+            return losses["total_loss"], losses
+
+        (loss, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, losses
+
+    ours, theirs = [], []
+    for i in range(n_steps):
+        params, opt_state, losses = step(
+            params, opt_state, jnp.asarray(weather[i]), jnp.asarray(masks[i]))
+        ours.append([float(losses["total_loss"]),
+                     float(losses["reconstruction"]),
+                     float(losses["kl_term"])])
+
+        w_t, m_t = torch.from_numpy(weather[i]), torch.from_numpy(masks[i])
+        opt_t.zero_grad()
+        mu_x, var_x = ref(w_t, torch.from_numpy(coords),
+                          torch.from_numpy(year), torch.from_numpy(interval),
+                          m_t)
+        n_masked = m_t.sum(dim=(1, 2)).float().mean()
+        recon = (-gaussian_log_likelihood(w_t, mu_x, var_x, m_t)
+                 / n_masked).mean()
+        kl = (beta * compute_gaussian_kl_divergence(
+            m_t, mu_x, var_x, torch.zeros_like(mu_x),
+            torch.ones_like(var_x)).mean()) / n_masked
+        total = recon + kl
+        total.backward()
+        opt_t.step()
+        theirs.append([float(total.detach()), float(recon.detach()),
+                       float(kl.detach())])
+
+    ours, theirs = np.asarray(ours), np.asarray(theirs)
+    np.testing.assert_allclose(ours[0], theirs[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-2, atol=1e-4)
+
+
+def test_legacy_weatherformer_v1_matches_reference():
+    """Legacy v1 (granularity input_scaler embedding + 4-phase geo/time PE
+    + index-based feature masking) vs the real src/base_models/model.py
+    Weatherformer (:67-149)."""
+    if "dotenv" not in sys.modules:
+        sys.modules["dotenv"] = types.SimpleNamespace(
+            load_dotenv=lambda *a, **k: None)
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        from src.base_models.model import Weatherformer as RefV1
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    from weathermodel_tpu.models.legacy import WeatherformerV1
+
+    rng = np.random.default_rng(18)
+    weather = rng.normal(size=(B, T, F)).astype(np.float32)
+    coords = rng.uniform(-90, 90, size=(B, 2)).astype(np.float32)
+    temporal_index = np.stack(
+        [np.zeros(B, np.float32),
+         rng.integers(1, 14, size=B).astype(np.float32)], axis=1)
+    feat_mask = np.zeros(F, dtype=bool)
+    feat_mask[[3, 9, 20]] = True
+
+    model = WeatherformerV1(input_dim=F, output_dim=F, num_heads=4,
+                            num_layers=2, hidden_dim_factor=12, max_len=T)
+    args = (jnp.asarray(weather), jnp.asarray(coords),
+            jnp.asarray(temporal_index), jnp.asarray(feat_mask))
+    params = model.init(jax.random.PRNGKey(4), *args)
+    p = params["params"]
+    # perturb the ones-initialized scaler so the test isn't trivially
+    # multiplication-free
+    scaler = 1.0 + 0.1 * rng.normal(
+        size=p["input_scaler"].shape).astype(np.float32)
+    p = dict(p, input_scaler=jnp.asarray(scaler))
+    params = {"params": p}
+    ours = np.asarray(model.apply(params, *args))
+
+    ref = RefV1(F, F, num_heads=4, num_layers=2, hidden_dim_factor=12,
+                max_len=T, device=CPU).eval()
+    with torch.no_grad():
+        ref.input_scaler.weight.copy_(_t(p["input_scaler"]))
+        ref.in_proj.weight.copy_(_t(p["in_proj"]["kernel"]).T)
+        ref.in_proj.bias.copy_(_t(p["in_proj"]["bias"]))
+        ref.out_proj.weight.copy_(_t(p["out_proj"]["kernel"]).T)
+        ref.out_proj.bias.copy_(_t(p["out_proj"]["bias"]))
+        for i, layer in enumerate(ref.transformer_encoder.layers):
+            fl = p["encoder"][f"layer_{i}"]
+            sa = fl["self_attn"]
+            layer.self_attn.in_proj_weight.copy_(_t(sa["qkv_proj"]["kernel"]).T)
+            layer.self_attn.in_proj_bias.copy_(_t(sa["qkv_proj"]["bias"]))
+            layer.self_attn.out_proj.weight.copy_(
+                _t(sa["out_proj"]["kernel"]).T)
+            layer.self_attn.out_proj.bias.copy_(_t(sa["out_proj"]["bias"]))
+            layer.linear1.weight.copy_(_t(fl["linear1"]["kernel"]).T)
+            layer.linear1.bias.copy_(_t(fl["linear1"]["bias"]))
+            layer.linear2.weight.copy_(_t(fl["linear2"]["kernel"]).T)
+            layer.linear2.bias.copy_(_t(fl["linear2"]["bias"]))
+            layer.norm1.weight.copy_(_t(fl["norm1"]["scale"]))
+            layer.norm1.bias.copy_(_t(fl["norm1"]["bias"]))
+            layer.norm2.weight.copy_(_t(fl["norm2"]["scale"]))
+            layer.norm2.bias.copy_(_t(fl["norm2"]["bias"]))
+        theirs = ref(
+            torch.from_numpy(weather.copy()), torch.from_numpy(coords),
+            torch.from_numpy(temporal_index),
+            torch.from_numpy(feat_mask)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
