@@ -845,3 +845,70 @@ def test_legacy_weatherformer_v1_matches_reference():
             torch.from_numpy(temporal_index),
             torch.from_numpy(feat_mask)).numpy()
     np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
+
+
+def test_linear_yield_matches_reference():
+    """Single Linear on flattened masked weather + y_past vs the real
+    src/crop_yield/models/linear_yield_model.py (:40-80)."""
+    if "dotenv" not in sys.modules:
+        sys.modules["dotenv"] = types.SimpleNamespace(
+            load_dotenv=lambda *a, **k: None)
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        from src.crop_yield.models.linear_yield_model import (
+            LinearYieldModel as RefLinear,
+        )
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    from weathermodel_tpu.models.yield_models import LinearYieldModel
+
+    n_past = 2
+    t = (n_past + 1) * 52
+    rng = np.random.default_rng(19)
+    weather = rng.normal(size=(B, t, F)).astype(np.float32)
+    mask = rng.random((B, t, F)) < 0.2
+    y_past = rng.normal(size=(B, n_past + 1)).astype(np.float32)
+    coords = np.zeros((B, 2), np.float32)
+    year = np.zeros((B, t), np.float32)
+    interval = np.full((B, 1), 7.0, np.float32)
+
+    model = LinearYieldModel(CFG, n_past_years=n_past, seq_len=t)
+    args = tuple(map(jnp.asarray, (weather, coords, year, interval, mask,
+                                   y_past)))
+    params = model.init(jax.random.PRNGKey(5), *args)
+    ours = np.asarray(model.apply(params, *args))
+
+    ref = RefLinear("linear_yield", CPU, weather_dim=F,
+                    n_past_years=n_past).eval()
+    with torch.no_grad():
+        ref.linear.weight.copy_(_t(params["params"]["linear"]["kernel"]).T)
+        ref.linear.bias.copy_(_t(params["params"]["linear"]["bias"]))
+        theirs = ref(*map(_t, (weather, coords, year, interval, mask,
+                               y_past))).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-4)
+
+
+def test_autoencoder_and_simmtm_are_pure_renames_in_reference():
+    """Our WeatherAutoencoder/SimMTM are aliases of the WeatherBERT
+    architecture; verify from the REAL package that the reference classes
+    are indeed pure renames (no own forward / no extra modules beyond
+    WeatherBERT's) — weatherautoencoder.py:15-36, simmtm.py:16-37."""
+    if "dotenv" not in sys.modules:
+        sys.modules["dotenv"] = types.SimpleNamespace(
+            load_dotenv=lambda *a, **k: None)
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        from src.pretraining.models.simmtm import SimMTM
+        from src.pretraining.models.weatherautoencoder import (
+            WeatherAutoencoder,
+        )
+        from src.pretraining.models.weatherbert import WeatherBERT as RefBERT
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    for cls in (WeatherAutoencoder, SimMTM):
+        assert "forward" not in vars(cls)
+        assert cls.__mro__[1] is RefBERT
+        m = cls(F, F, CPU, **SIZE_KW)
+        b = RefBERT(F, F, CPU, **SIZE_KW)
+        assert [k for k, _ in m.named_parameters()] == \
+               [k for k, _ in b.named_parameters()]
