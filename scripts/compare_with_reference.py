@@ -1,21 +1,48 @@
 #!/usr/bin/env python
-"""Numerics-fidelity harness: train this framework's WeatherBERT and an
-identical PyTorch model (the reference's architecture: in_proj -> sinusoidal
-PE -> stock nn.TransformerEncoder -> out_proj) side by side on identical
-data, identical converted initial weights, identical fixed masks and Adam
-hyperparameters, dropout off — and report the per-step loss drift.
+"""Numerics-fidelity harness: train this framework's WeatherBERT and the
+ACTUAL reference PyTorch model side by side on identical data, identical
+converted initial weights, identical fixed masks and Adam hyperparameters,
+dropout off — and report the per-step loss drift.
 
-This is the runnable form of tests/test_training_parity.py ("matching the
-reference's loss values to numerical fidelity", BASELINE.json). Runs on CPU
-so torch and JAX see the same fp32 arithmetic class.
+The torch side imports the real package from /root/reference
+(src.pretraining.models.weatherbert) when present; --replica (or a missing
+reference checkout) falls back to the hand-written replica in
+tests/test_torch_parity.py. This is the runnable form of
+tests/test_training_parity.py + tests/test_reference_parity.py ("matching
+the reference's loss values to numerical fidelity", BASELINE.json). Runs on
+CPU so torch and JAX see the same fp32 arithmetic class.
 
 Usage: python scripts/compare_with_reference.py --steps 50 --batch 32
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _load_real_reference_bert(cfg, seq_len):
+    """Instantiate the real reference WeatherBERT (read-only import)."""
+    import types
+
+    import torch
+
+    if "dotenv" not in sys.modules:
+        sys.modules["dotenv"] = types.SimpleNamespace(
+            load_dotenv=lambda *a, **k: None)
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        from src.pretraining.models.weatherbert import WeatherBERT as RefBERT
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    return RefBERT(
+        cfg.weather_dim, cfg.output_dim, torch.device("cpu"),
+        num_heads=cfg.num_heads, num_layers=cfg.num_layers,
+        hidden_dim_factor=cfg.hidden_dim_factor, max_len=seq_len,
+    )
 
 
 def main():
@@ -26,6 +53,9 @@ def main():
     p.add_argument("--model-size", default="mini")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--replica", action="store_true",
+                   help="use the hand-written torch replica even if "
+                        "/root/reference is available")
     args = p.parse_args()
 
     import jax
@@ -55,8 +85,24 @@ def main():
                         jnp.asarray(weather[0]), jnp.asarray(coords),
                         jnp.asarray(year), jnp.asarray(interval),
                         jnp.asarray(masks[0]))
-    tm = TorchWeatherBERT(cfg)
-    _load_flax_into_torch(tm, params)
+    use_real = (not args.replica
+                and os.path.isdir(os.path.join(REFERENCE_ROOT, "src")))
+    if use_real:
+        from tests.test_reference_parity import (
+            _disable_torch_dropout,
+            _load_flax_into_reference_bert,
+        )
+
+        tm = _load_real_reference_bert(cfg, args.seq_len)
+        _load_flax_into_reference_bert(tm, params)
+        _disable_torch_dropout(tm)
+        print("torch side: REAL reference package "
+              f"({REFERENCE_ROOT}/src/pretraining/models/weatherbert.py)")
+    else:
+        tm = TorchWeatherBERT(cfg)
+        _load_flax_into_torch(tm, params)
+        print("torch side: hand-written replica "
+              "(tests/test_torch_parity.py)")
     tm.train()
     opt_t = torch.optim.Adam(tm.parameters(), lr=args.lr)
     tx = optax.adam(args.lr)
