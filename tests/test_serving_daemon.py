@@ -1,0 +1,227 @@
+"""Online serving daemon: micro-batching semantics + HTTP protocol
+(weathermodel_tpu/serving_daemon.py — beyond-reference capability; the
+reference has no serving path at all)."""
+
+import http.client
+import io
+import json
+import threading
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from weathermodel_tpu.serve import WeatherPredictor
+from weathermodel_tpu.serving_daemon import MicroBatcher, make_server
+from weathermodel_tpu.utils.config import ModelConfig
+
+T, F = 12, 31
+CFG = ModelConfig(num_heads=4, num_layers=1, hidden_dim_factor=12, max_len=T,
+                  dropout_rate=0.0)
+
+
+def _arrays(n, seed=0, t=T):
+    rng = np.random.default_rng(seed)
+    return (rng.normal(size=(n, t, F)).astype(np.float32),
+            rng.uniform(-90, 90, size=(n, 2)).astype(np.float32),
+            np.full((n, t), 1990.0, np.float32),
+            np.full((n, 1), 7.0, np.float32),
+            np.zeros((n, t, F), bool))
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    from weathermodel_tpu.models import WeatherBERT
+
+    model = WeatherBERT(CFG)
+    params = model.init(jax.random.PRNGKey(0), *map(np.asarray, _arrays(2)))
+    return WeatherPredictor(model, params, buckets=(4, 16))
+
+
+def test_microbatcher_coalesces_concurrent_requests(predictor):
+    """While the worker is blocked on request #1, three more requests
+    arrive; they must be served by ONE underlying predictor call with
+    per-request outputs equal to direct calls."""
+    gate = threading.Event()
+    first_started = threading.Event()
+    calls = []
+
+    def gated_predictor(w, c, y, i, weather_feature_mask=None):
+        calls.append(w.shape[0])
+        if len(calls) == 1:
+            first_started.set()
+            gate.wait(timeout=10)
+        return predictor(w, c, y, i,
+                         weather_feature_mask=weather_feature_mask)
+
+    mb = MicroBatcher(gated_predictor, max_batch=64, max_wait_ms=100.0)
+    try:
+        results = {}
+
+        def client(name, n, seed):
+            results[name] = mb.submit(*_arrays(n, seed))
+
+        t0 = threading.Thread(target=client, args=("a", 2, 1))
+        t0.start()
+        assert first_started.wait(timeout=10)
+        rest = [threading.Thread(target=client, args=(k, n, s))
+                for k, n, s in (("b", 3, 2), ("c", 1, 3), ("d", 2, 4))]
+        for th in rest:
+            th.start()
+        time.sleep(0.15)  # let b/c/d enqueue while the worker is gated
+        gate.set()
+        for th in [t0] + rest:
+            th.join(timeout=30)
+
+        assert len(calls) == 2          # [a] then [b+c+d] coalesced
+        assert calls[1] == 3 + 1 + 2
+        for name, n, seed in (("a", 2, 1), ("b", 3, 2), ("c", 1, 3),
+                              ("d", 2, 4)):
+            w, c, y, i, m = _arrays(n, seed)
+            direct = predictor(w, c, y, i, weather_feature_mask=m)
+            np.testing.assert_allclose(results[name], direct, atol=1e-5)
+        stats = mb.stats()
+        assert stats["n_requests"] == 4 and stats["n_batches"] == 2
+        assert stats["latency_ms"]["p50"] is not None
+    finally:
+        mb.close()
+
+
+def test_microbatcher_groups_by_shape(predictor):
+    """Mixed sequence lengths in one drain must be split into one
+    predictor call per [T, F] group (jitted programs are shape-keyed)."""
+    shapes = []
+
+    def shape_logging_predictor(w, c, y, i, weather_feature_mask=None):
+        shapes.append(w.shape)
+        return np.zeros(w.shape, np.float32)
+
+    mb = MicroBatcher(shape_logging_predictor, max_batch=64,
+                      max_wait_ms=150.0)
+    try:
+        outs = {}
+        ths = [threading.Thread(
+                   target=lambda k=k, t=t, s=s: outs.update(
+                       {k: mb.submit(*_arrays(2, s, t=t))}))
+               for k, t, s in (("t12a", 12, 5), ("t8", 8, 6),
+                               ("t12b", 12, 7))]
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join(timeout=30)
+        assert sorted(s[1] for s in shapes) == [8, 12]  # two groups
+        assert outs["t8"].shape == (2, 8, F)
+    finally:
+        mb.close()
+
+
+def test_microbatcher_surfaces_errors_and_survives(predictor):
+    def flaky(w, *a, **kw):
+        if w.shape[0] == 3:
+            raise ValueError("boom")
+        return np.zeros(w.shape, np.float32)
+
+    mb = MicroBatcher(flaky, max_batch=64, max_wait_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="boom"):
+            mb.submit(*_arrays(3, 8))
+        assert mb.submit(*_arrays(2, 9)).shape == (2, T, F)
+    finally:
+        mb.close()
+
+
+@pytest.fixture()
+def server(predictor):
+    srv, batcher = make_server(predictor, host="127.0.0.1", port=0,
+                               max_batch=16, max_wait_ms=2.0)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield srv
+    srv.shutdown()
+    batcher.close()
+    srv.server_close()
+    th.join(timeout=5)
+
+
+def _post_npz(port, path="/predict", **arrays):
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    body = buf.getvalue()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", path, body=body,
+                 headers={"Content-Type": "application/octet-stream"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def test_http_predict_roundtrip(predictor, server):
+    port = server.server_address[1]
+    w, c, y, i, m = _arrays(5, 10)
+    status, data = _post_npz(port, weather=w, coords=c, year=y,
+                             interval=i, mask=m)
+    assert status == 200
+    with np.load(io.BytesIO(data)) as z:
+        out = z["output"]
+    direct = predictor(w, c, y, i, weather_feature_mask=m)
+    np.testing.assert_allclose(out, direct, atol=1e-5)
+
+    # defaults synthesized when only weather is sent
+    status, data = _post_npz(port, weather=w)
+    assert status == 200
+    with np.load(io.BytesIO(data)) as z:
+        assert z["output"].shape == (5, T, F)
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    conn.request("GET", "/healthz")
+    assert json.loads(conn.getresponse().read()) == {"ok": True}
+    conn.request("GET", "/stats")
+    stats = json.loads(conn.getresponse().read())
+    conn.close()
+    assert stats["n_requests"] >= 2 and stats["n_rows"] >= 10
+
+
+def test_http_rejects_bad_requests(server):
+    port = server.server_address[1]
+    status, data = _post_npz(port, weather=np.zeros((2, 2), np.float32))
+    assert status == 400 and b"N,T,F" in data
+    status, data = _post_npz(port, wrong_key=np.zeros(3, np.float32))
+    assert status == 400
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    conn.request("POST", "/nope", body=b"x")
+    assert conn.getresponse().status == 404
+    conn.close()
+
+
+def test_variational_head_returns_mu_var(server):
+    from weathermodel_tpu.models import WeatherFormer
+
+    model = WeatherFormer(CFG)
+    params = model.init(jax.random.PRNGKey(1), *map(np.asarray, _arrays(2)))
+    predictor = WeatherPredictor(model, params, buckets=(4,))
+    srv, batcher = make_server(predictor, port=0, max_wait_ms=1.0)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        w, c, y, i, m = _arrays(3, 11)
+        status, data = _post_npz(srv.server_address[1], weather=w)
+        assert status == 200
+        with np.load(io.BytesIO(data)) as z:
+            assert z["mu"].shape == (3, T, F)
+            assert np.all(z["var"] > 0)
+    finally:
+        srv.shutdown()
+        batcher.close()
+        srv.server_close()
+        th.join(timeout=5)
+
+
+def test_warmup_compiles_every_bucket(predictor):
+    from weathermodel_tpu.serving_daemon import warmup
+
+    warmup(predictor, T, F)  # must run every bucket without error
+    out = predictor(*_arrays(3, 12)[:4],
+                    weather_feature_mask=_arrays(3, 12)[4])
+    assert out.shape == (3, T, F)

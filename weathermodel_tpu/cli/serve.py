@@ -12,6 +12,13 @@ masked-reconstruction mode).
 
     wm-serve --checkpoint run_pre/best --model weatherbert \
              --model-size small --input windows.npz --output preds.npz
+
+`--daemon` swaps the one-shot batch job for an online HTTP server with
+request micro-batching (serving_daemon.py):
+
+    wm-serve --daemon --port 8476 --checkpoint run_pre/best \
+             --model weatherformer --model-size small
+    # clients: POST /predict with .npz bytes; GET /healthz /stats
 """
 
 import argparse
@@ -29,10 +36,29 @@ def build_parser() -> argparse.ArgumentParser:
                    help="orbax params dir or reference .pth")
     p.add_argument("--model", default="weatherbert")
     p.add_argument("--model-size", default="small")
-    p.add_argument("--input", required=True,
+    p.add_argument("--input",
                    help=".npz with weather [N,T,F] (+ optional coords/"
-                        "year/interval/mask)")
-    p.add_argument("--output", required=True, help="output .npz path")
+                        "year/interval/mask); required unless --daemon")
+    p.add_argument("--output",
+                   help="output .npz path; required unless --daemon")
+    p.add_argument("--daemon", action="store_true",
+                   help="serve online over HTTP instead of one offline "
+                        "batch: POST /predict with .npz bytes; concurrent "
+                        "requests are micro-batched onto the device "
+                        "(serving_daemon.py)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", default=8476, type=int)
+    p.add_argument("--max-wait-ms", default=5.0, type=float,
+                   help="micro-batching window: max extra latency a lone "
+                        "request pays waiting to be coalesced")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="daemon mode: skip pre-compiling every padding "
+                        "bucket at startup (first hit per bucket then "
+                        "pays the XLA compile)")
+    p.add_argument("--seq-len", default=365, type=int,
+                   help="daemon mode: the model's max_len (requests must "
+                        "have T <= this; offline mode infers it from "
+                        "--input)")
     p.add_argument("--attention-impl", default="auto",
                    choices=("auto", "pallas", "pallas_qkv",
                             "pallas_qkv_op", "xla"),
@@ -47,8 +73,36 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _make_predictor(args: argparse.Namespace, t: int):
+    from weathermodel_tpu.ops.attention import resolve_attention_impl
+    from weathermodel_tpu.serve import DEFAULT_BUCKETS, load_weather_predictor
+
+    # cap the padding buckets at --batch-size (memory-constrained chips)
+    buckets = tuple(b for b in DEFAULT_BUCKETS if b < args.batch_size)
+    buckets = buckets + (args.batch_size,)
+    return load_weather_predictor(
+        args.checkpoint, model_size=args.model_size, model_name=args.model,
+        attention_impl=resolve_attention_impl(
+            args.attention_impl, args.model_size, mode="eval"),
+        max_len=t, buckets=buckets,
+        num_experts=args.moe_experts, moe_top_k=args.moe_top_k,
+    )
+
+
 def run(args: argparse.Namespace) -> dict:
-    from weathermodel_tpu.serve import load_weather_predictor
+    if args.daemon:
+        from weathermodel_tpu.serving_daemon import serve_forever
+
+        predictor = _make_predictor(args, args.seq_len)
+        serve_forever(predictor, args.host, args.port,
+                      max_batch=args.batch_size,
+                      max_wait_ms=args.max_wait_ms,
+                      do_warmup=not args.no_warmup,
+                      seq_len=args.seq_len)
+        return {"daemon": True}
+    if not args.input or not args.output:
+        raise SystemExit("--input and --output are required "
+                         "(or pass --daemon)")
 
     with np.load(args.input) as z:
         weather = np.asarray(z["weather"], np.float32)
@@ -62,19 +116,7 @@ def run(args: argparse.Namespace) -> dict:
         mask = (np.asarray(z["mask"], bool) if "mask" in z
                 else np.zeros((n, t, f), bool))
 
-    from weathermodel_tpu.ops.attention import resolve_attention_impl
-    from weathermodel_tpu.serve import DEFAULT_BUCKETS
-
-    # cap the padding buckets at --batch-size (memory-constrained chips)
-    buckets = tuple(b for b in DEFAULT_BUCKETS if b < args.batch_size)
-    buckets = buckets + (args.batch_size,)
-    predictor = load_weather_predictor(
-        args.checkpoint, model_size=args.model_size, model_name=args.model,
-        attention_impl=resolve_attention_impl(
-            args.attention_impl, args.model_size, mode="eval"),
-        max_len=t, buckets=buckets,
-        num_experts=args.moe_experts, moe_top_k=args.moe_top_k,
-    )
+    predictor = _make_predictor(args, t)
     outputs = predictor(weather, coords, year, interval,
                         weather_feature_mask=mask)
     out = {}
