@@ -457,7 +457,7 @@ def test_weatherformer_yield_matches_reference(reference_ext, monkeypatch):
         *map(jnp.asarray, x))
     pred, z, mu, var = model.apply(params, *map(jnp.asarray, x),
                                    rngs={"sample": jax.random.PRNGKey(7)})
-    eps = np.asarray((z - mu) / jnp.sqrt(var))
+    eps = np.array((z - mu) / jnp.sqrt(var))  # copy: torch.from_numpy needs writable
 
     ref = reference_ext.FormerYield(
         "weatherformer_yield", CPU, weather_dim=F, n_past_years=n_past,
@@ -634,7 +634,7 @@ def _prior_yield_parity(our_cls, ref_cls, ref_name, prior_names, monkeypatch,
     ours = model.apply(params, *map(jnp.asarray, x),
                        rngs={"sample": jax.random.PRNGKey(9)})
     _, z, mu, var = ours[0], ours[1], ours[2], ours[3]
-    eps = np.asarray((z - mu) / jnp.sqrt(var))
+    eps = np.array((z - mu) / jnp.sqrt(var))  # copy: torch.from_numpy needs writable
 
     ref = ref_cls(
         ref_name, CPU, k=3, weather_dim=F, n_past_years=n_past,
