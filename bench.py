@@ -98,7 +98,8 @@ def main():
     cfg = model_config_for_size(
         size, compute_dtype="bfloat16", num_experts=moe_experts,
         moe_top_k=int(os.environ.get("BENCH_MOE_TOP_K", "2")),
-        moe_remat=os.environ.get("BENCH_MOE_REMAT", "0") != "0")
+        moe_remat=os.environ.get("BENCH_MOE_REMAT", "0") != "0",
+        moe_dispatch=os.environ.get("BENCH_MOE_DISPATCH", "sort"))
     if objective == "elbo":
         from weathermodel_tpu.models import WeatherFormer
 

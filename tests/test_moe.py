@@ -395,3 +395,69 @@ def test_expert_remat_matches_unremat_grads():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5),
         g0, g1)
+
+
+def test_sort_dispatch_matches_scatter_dispatch():
+    """The stable-argsort gather-only formulation must reproduce the
+    scatter formulation EXACTLY: same routing (priority order preserved
+    by the stable sort), same outputs, same grads — with dropout on and
+    capacity drops active (capacity_factor small enough to force them)."""
+    h, f, e = 16, 32, 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 24, h))
+
+    def run(dispatch):
+        moe = MoEFFN(h, f, e, top_k=2, capacity_factor=0.75,
+                     dropout_rate=0.3, dispatch=dispatch)
+        variables = moe.init(
+            {"params": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)},
+            x, deterministic=False)
+
+        def loss_fn(params, x_):
+            out, _ = moe.apply(
+                {"params": params}, x_, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(3)}, mutable=["moe"])
+            return jnp.sum(jnp.square(out)), out
+
+        (val, out), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"], x)
+        return val, out, grads
+
+    v_sc, out_sc, g_sc = run("scatter")
+    v_so, out_so, g_so = run("sort")
+    np.testing.assert_array_equal(np.asarray(out_sc), np.asarray(out_so))
+    np.testing.assert_allclose(np.asarray(v_sc), np.asarray(v_so),
+                               rtol=1e-7)
+    jax.tree.map(
+        lambda a_, b_: np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), atol=1e-6, rtol=1e-5),
+        g_sc, g_so)
+
+
+def test_sort_routing_matches_cumsum_routing():
+    """pos/keep from the stable argsort == the exclusive one-hot cumsum
+    for random assignments (priority semantics preserved)."""
+    from weathermodel_tpu.models.moe import _sort_routing
+
+    rng = np.random.default_rng(0)
+    e, cap = 5, 4
+    flat_idx = jnp.asarray(rng.integers(0, e, size=(4, 37)))
+
+    onehot = jax.nn.one_hot(flat_idx, e, dtype=jnp.int32)
+    pos_ref = jnp.cumsum(onehot, axis=1) - onehot
+    pos_ref = jnp.take_along_axis(
+        pos_ref, flat_idx[..., None], axis=2)[..., 0]
+    keep_ref = pos_ref < cap
+
+    pos, keep, slot, tok, filled = _sort_routing(flat_idx, e, cap)
+    np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep_ref))
+    np.testing.assert_array_equal(np.asarray(pos)[np.asarray(keep)],
+                                  np.asarray(pos_ref)[np.asarray(keep_ref)])
+    # the slot<->token maps are mutually inverse on the kept set
+    b = flat_idx.shape[0]
+    for bi in range(b):
+        for j in range(flat_idx.shape[1]):
+            if keep[bi, j]:
+                s = int(slot[bi, j])
+                assert bool(filled[bi, s])
+                assert int(tok[bi, s]) == j

@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "routed Mixture-of-Experts FFN, expert-parallel "
                         "over the mesh's 'model' axis (models/moe.py)")
     p.add_argument("--moe-top-k", default=2, type=int)
+    p.add_argument("--moe-dispatch", default="sort",
+                   choices=("sort", "scatter"),
+                   help="MoE data movement: stable-argsort + gather-only "
+                        "custom-VJP (sort) vs per-row scatter (scatter); "
+                        "identical numerics, measured A/B in BASELINE.md")
     p.add_argument("--moe-remat", action="store_true",
                    help="rematerialize the expert FFN in the backward pass "
                         "(~3x larger batch fits in HBM, ~30%% slower per "
@@ -182,7 +187,7 @@ def run(args: argparse.Namespace) -> dict:
     mcfg = model_config_for_size(
         args.model_size, k=k, compute_dtype=args.compute_dtype,
         num_experts=args.moe_experts, moe_top_k=args.moe_top_k,
-        moe_remat=args.moe_remat,
+        moe_remat=args.moe_remat, moe_dispatch=args.moe_dispatch,
     )
     tcfg = TrainConfig(
         batch_size=args.batch_size,

@@ -234,6 +234,7 @@ class TransformerEncoderLayer(nn.Module):
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
     moe_remat: bool = False
+    moe_dispatch: str = "sort"
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
@@ -251,7 +252,7 @@ class TransformerEncoderLayer(nn.Module):
                 self.hidden_dim, self.ffn_dim, self.num_experts,
                 self.moe_top_k, self.moe_capacity_factor,
                 self.dropout_rate, self.dtype, remat=self.moe_remat,
-                name="moe",
+                dispatch=self.moe_dispatch, name="moe",
             )(x, deterministic=deterministic)
             ff = _dropout(self, ff, self.dropout_rate, deterministic)
             return nn.LayerNorm(
@@ -318,6 +319,7 @@ class TransformerEncoder(nn.Module):
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
     moe_remat: bool = False
+    moe_dispatch: str = "sort"
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
@@ -335,6 +337,6 @@ class TransformerEncoder(nn.Module):
                 self.dropout_rate, self.attention_impl, self.dtype,
                 self.ffn_impl, self.num_experts, self.moe_top_k,
                 self.moe_capacity_factor, self.moe_remat,
-                name=f"layer_{i}",
+                self.moe_dispatch, name=f"layer_{i}",
             )(x, key_padding_mask, deterministic)
         return x

@@ -68,6 +68,80 @@ def expert_capacity(tokens_per_group: int, num_experts: int, top_k: int,
     return -(-c // 8) * 8
 
 
+@jax.custom_vjp
+def _gather_rows(x, idx, mask, inv_idx, inv_mask):
+    """y[b, m] = mask[b, m] ? x[b, idx[b, m]] : 0 — with a GATHER-ONLY
+    custom VJP.
+
+    XLA's automatic vjp of take_along_axis is a scatter-add, and TPU
+    scatters with data-dependent indices lower to sequential
+    dynamic-update-slice loops (measured ~83 ms/step of the flagship MoE
+    bench, scripts/abl_moe.py). Because MoE dispatch is a BIJECTION
+    between kept (token, slot) assignments and filled expert slots, the
+    caller can hand us the inverse mapping, turning the backward pass
+    into another gather: dx[b, n] = inv_mask[b, n] ? dy[b, inv_idx[b, n]]
+    : 0."""
+    return jnp.where(mask[..., None],
+                     jnp.take_along_axis(x, idx[..., None], axis=1),
+                     jnp.zeros((), x.dtype))
+
+
+def _gather_rows_fwd(x, idx, mask, inv_idx, inv_mask):
+    return _gather_rows(x, idx, mask, inv_idx, inv_mask), (
+        inv_idx, inv_mask, x.shape[1])
+
+
+def _gather_rows_bwd(res, g):
+    inv_idx, inv_mask, n = res
+    dx = jnp.where(inv_mask[..., None],
+                   jnp.take_along_axis(g, inv_idx[..., None], axis=1),
+                   jnp.zeros((), g.dtype))
+    assert dx.shape[1] == n
+    return (dx, None, None, None, None)
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+def _sort_routing(flat_idx, e, cap):
+    """Sort-based routing: position-in-expert, capacity mask, and the two
+    directions of the (token <-> expert slot) bijection — computed with
+    argsort + gathers only (no one-hot cumsum, no scatter).
+
+    A stable argsort of the token-major expert assignments preserves
+    GShard's priority order (earlier tokens / higher-gate slots win the
+    capacity race), so `pos`/`keep` are IDENTICAL to the exclusive-cumsum
+    formulation (equivalence-tested in tests/test_moe.py).
+
+    Returns (pos, keep, slot, tok, filled):
+      pos    [B, Tk] position of each (token, slot) inside its expert
+      keep   [B, Tk] pos < cap
+      slot   [B, Tk] flat expert-slot id e_j*cap + min(pos, cap-1)
+      tok    [B, E*cap] token index filling each slot (garbage if empty)
+      filled [B, E*cap] slot actually filled
+    """
+    b, tk = flat_idx.shape
+    order = jnp.argsort(flat_idx, axis=1, stable=True)       # [B, Tk]
+    sorted_e = jnp.take_along_axis(flat_idx, order, axis=1)
+    experts = jnp.arange(e, dtype=flat_idx.dtype)
+    start = jax.vmap(
+        lambda se: jnp.searchsorted(se, experts, side="left"))(sorted_e)
+    n_e = jnp.diff(jnp.concatenate(
+        [start, jnp.full((b, 1), tk, start.dtype)], axis=1))  # [B, E]
+    pos_sorted = (jnp.arange(tk, dtype=start.dtype)[None]
+                  - jnp.take_along_axis(start, sorted_e, axis=1))
+    inv = jnp.argsort(order, axis=1)                 # inverse permutation
+    pos = jnp.take_along_axis(pos_sorted, inv, axis=1)        # [B, Tk]
+    keep = pos < cap
+    slot = flat_idx * cap + jnp.minimum(pos, cap - 1)
+    c_ar = jnp.arange(cap, dtype=start.dtype)
+    slot_pos = start[:, :, None] + c_ar[None, None, :]        # [B, E, cap]
+    filled = c_ar[None, None, :] < jnp.minimum(n_e, cap)[:, :, None]
+    tok = jnp.take_along_axis(
+        order, jnp.clip(slot_pos, 0, tk - 1).reshape(b, e * cap), axis=1)
+    return pos, keep, slot, tok, filled.reshape(b, e * cap)
+
+
 class MoEFFN(nn.Module):
     """Top-k routed expert FFN: router -> dispatch -> per-expert
     (linear1 -> relu -> dropout -> linear2) -> weighted combine.
@@ -97,6 +171,11 @@ class MoEFFN(nn.Module):
     # sharded config). On a pod the expert dim shards away E-fold and the
     # pressure largely disappears.
     remat: bool = False
+    # "sort" routes with stable-argsort + gather-only custom-VJP data
+    # movement (no one-hot cumsum, no TPU scatter loops); "scatter" is
+    # the original per-row .at[].set formulation. Numerics are identical
+    # (equivalence-tested); see BASELINE.md for the measured A/B.
+    dispatch: str = "sort"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -143,17 +222,26 @@ class MoEFFN(nn.Module):
                      reduce_fn=lambda a, b: a + b, init_fn=lambda: 0.0)
 
         # --- position-in-expert + capacity drop (per row) ------------
-        # Running count over a row's tokens gives each (token, slot) its
-        # slot index inside its expert's per-row buffer; slot order
-        # (k-major within a token) matches GShard's priority: earlier
-        # tokens & higher-gate slots win the capacity race.
+        # Priority order (both formulations): earlier tokens & higher-
+        # gate slots win the capacity race (GShard semantics).
         flat_idx = idx.reshape(b, t * k)                       # token-major
-        onehot = jax.nn.one_hot(flat_idx, e, dtype=jnp.int32)  # [B, T*k, E]
-        pos = (jnp.cumsum(onehot, axis=1) - onehot)            # exclusive
-        pos = jnp.take_along_axis(pos, flat_idx[..., None], axis=2)[..., 0]
-        keep = pos < cap
-        # Dropped tokens scatter into the sacrificial slot `cap`.
-        pos = jnp.where(keep, pos, cap)
+        if self.dispatch == "sort":
+            pos, keep, slot, tok, filled = _sort_routing(flat_idx, e, cap)
+        elif self.dispatch == "scatter":
+            # Running count over a row's tokens gives each (token, slot)
+            # its slot index inside its expert's per-row buffer.
+            onehot = jax.nn.one_hot(flat_idx, e, dtype=jnp.int32)
+            pos = (jnp.cumsum(onehot, axis=1) - onehot)        # exclusive
+            pos = jnp.take_along_axis(
+                pos, flat_idx[..., None], axis=2)[..., 0]
+            keep = pos < cap
+            # Dropped tokens scatter into the sacrificial slot `cap`.
+            pos = jnp.where(keep, pos, cap)
+            slot = tok = filled = None
+        else:
+            raise ValueError(
+                f"dispatch must be 'sort' or 'scatter', got "
+                f"{self.dispatch!r}")
 
         # --- expert params -------------------------------------------
         def expert_init(base):
@@ -177,16 +265,26 @@ class MoEFFN(nn.Module):
         drop_key = self.make_rng("dropout") if use_dropout else None
         dtype, rate = self.dtype, self.dropout_rate
 
-        def expert_compute(x_, w1_, b1_, w2_, b2_, flat_idx_, pos_, w_gate,
+        sort_dispatch = self.dispatch == "sort"
+
+        def expert_compute(x_, w1_, b1_, w2_, b2_, routing, w_gate,
                            drop_key_):
-            # dispatch: per-row scatter into [E, cap+1, H]
             xk = jnp.repeat(x_.astype(dtype), k, axis=1)       # [B, T*k, H]
 
-            def dispatch_row(idx_r, pos_r, xk_r):
-                buf = jnp.zeros((e, cap + 1, h), dtype)
-                return buf.at[idx_r, pos_r].set(xk_r)[:, :cap]
+            if sort_dispatch:
+                keep_, slot_, tok_, filled_ = routing
+                # dispatch AND its backward are gathers (_gather_rows)
+                expert_in = _gather_rows(
+                    xk, tok_, filled_, slot_, keep_).reshape(b, e, cap, h)
+            else:
+                flat_idx_, pos_ = routing
 
-            expert_in = jax.vmap(dispatch_row)(flat_idx_, pos_, xk)
+                # per-row scatter into [E, cap+1, H]
+                def dispatch_row(idx_r, pos_r, xk_r):
+                    buf = jnp.zeros((e, cap + 1, h), dtype)
+                    return buf.at[idx_r, pos_r].set(xk_r)[:, :cap]
+
+                expert_in = jax.vmap(dispatch_row)(flat_idx_, pos_, xk)
 
             # per-expert FFN (batched MXU einsums)
             hdn = jnp.einsum("bech,ehf->becf", expert_in, w1_.astype(dtype))
@@ -198,15 +296,21 @@ class MoEFFN(nn.Module):
             out = jnp.einsum("becf,efh->bech", hdn, w2_.astype(dtype))
             out = out + b2_[None, :, None].astype(dtype)       # [B,E,C,H]
 
-            # combine: gather each slot's output, gate-weighted
-            def combine_row(out_r, idx_r, pos_r):
-                return out_r[idx_r, jnp.minimum(pos_r, cap - 1)]
+            if sort_dispatch:
+                got = _gather_rows(out.reshape(b, e * cap, h), slot_,
+                                   keep_, tok_, filled_)       # [B, T*k, H]
+            else:
+                # combine: gather each slot's output, gate-weighted
+                def combine_row(out_r, idx_r, pos_r):
+                    return out_r[idx_r, jnp.minimum(pos_r, cap - 1)]
 
-            got = jax.vmap(combine_row)(out, flat_idx_, pos_)  # [B, T*k, H]
+                got = jax.vmap(combine_row)(out, flat_idx_, pos_)
             return jnp.sum(
                 (got * w_gate[..., None]).reshape(b, t, k, h), axis=2)
 
         if self.remat:
             expert_compute = jax.checkpoint(expert_compute)
         w = (gate.reshape(b, t * k) * keep).astype(self.dtype)
-        return expert_compute(x, w1, b1, w2, b2, flat_idx, pos, w, drop_key)
+        routing = ((keep, slot, tok, filled) if sort_dispatch
+                   else (flat_idx, pos))
+        return expert_compute(x, w1, b1, w2, b2, routing, w, drop_key)

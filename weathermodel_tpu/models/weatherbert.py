@@ -92,6 +92,7 @@ class WeatherEncoderCore(nn.Module):
             moe_top_k=cfg.moe_top_k,
             moe_capacity_factor=cfg.moe_capacity_factor,
             moe_remat=cfg.moe_remat,
+            moe_dispatch=cfg.moe_dispatch,
             name="encoder",
         )(x, src_key_padding_mask, deterministic)
         return x

@@ -46,6 +46,11 @@ class ModelConfig:
     # do not recover it (dispatch-bound; BASELINE.md MoE section) —
     # default off, opt in when memory is the binding constraint.
     moe_remat: bool = False
+    # MoE data movement: "sort" (stable-argsort routing + gather-only
+    # custom-VJP dispatch/combine) or "scatter" (per-row .at[].set).
+    # Identical numerics (equivalence-tested); measured A/B in
+    # BASELINE.md.
+    moe_dispatch: str = "sort"
 
     @property
     def hidden_dim(self) -> int:
