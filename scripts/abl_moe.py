@@ -3,15 +3,16 @@
 top-2, B=96, T=365). Monkeypatches models.moe.MoEFFN.__call__ with
 FLOP/shape-preserving variants to isolate where the step time goes:
 
-  full        the shipped path (router + scatter dispatch + expert
-              einsums + gather combine)
+  full        the shipped path (sort routing + gather dispatch +
+              expert einsums + gather combine; round-3c default)
   noexpert    expert einsums replaced by identity — keeps router +
               dispatch/combine, removes the MoE MXU work
-  nodispatch  scatter/gather replaced by reshapes of the token stream —
+  nodispatch  dispatch/combine replaced by reshapes of the token stream —
               keeps router + einsums, removes the dispatch data movement
-  norouter    router softmax/top-k/cumsum kept but positions replaced by
-              a static round-robin layout — isolates the routing math
-              from the scatter irregularity
+  norouter    static round-robin routing — isolates the routing math
+  nodrop      expert-FFN dropout skipped (bias/relu kept)
+  noelem      bias/relu/dropout all skipped (pure einsums)
+  scatter     the pre-round-3c per-row .at[].set formulation
 
 All variants are numerically WRONG (except full); they exist only to
 attribute time. Timing: full train step via bench.py conventions (host
@@ -40,7 +41,13 @@ def make_abl_class():
     from flax import linen as nn
 
     from weathermodel_tpu.models import moe as moe_mod
-    from weathermodel_tpu.models.moe import Z_LOSS_SCALE, expert_capacity
+    from weathermodel_tpu.models.moe import (
+        Z_LOSS_SCALE,
+        _gather_rows,
+        _keyed_dropout,
+        _sort_routing,
+        expert_capacity,
+    )
 
     class AblMoEFFN(moe_mod.MoEFFN):
         """FLOP/shape-preserving ablation variants (see module docstring);
@@ -48,14 +55,15 @@ def make_abl_class():
 
         @nn.compact
         def __call__(self, x, deterministic=True):
-            return _body(self, x)
+            return _body(self, x, deterministic)
 
-    def _body(self, x):
+    def _body(self, x, deterministic):
         variant = VARIANT
         h, f, e, k = (self.hidden_dim, self.ffn_dim, self.num_experts,
                       self.top_k)
         b, t, _ = x.shape
         cap = expert_capacity(t, e, k, self.capacity_factor)
+        dtype, rate = self.dtype, self.dropout_rate
 
         logits = nn.Dense(e, name="router", dtype=jnp.float32)(
             x.astype(jnp.float32))
@@ -70,31 +78,10 @@ def make_abl_class():
                      reduce_fn=lambda a_, b_: a_ + b_, init_fn=lambda: 0.0)
 
         flat_idx = idx.reshape(b, t * k)
-        onehot = jax.nn.one_hot(flat_idx, e, dtype=jnp.int32)
-        pos = (jnp.cumsum(onehot, axis=1) - onehot)
-        pos = jnp.take_along_axis(pos, flat_idx[..., None], axis=2)[..., 0]
-        keep = pos < cap
-        pos = jnp.where(keep, pos, cap)
-        if variant == "norouter":
-            # static round-robin: token j -> expert j%e, slot j//e
-            rr = jnp.arange(t * k)
-            flat_idx = jnp.broadcast_to(rr % e, (b, t * k))
-            pos = jnp.broadcast_to(jnp.minimum(rr // e, cap), (b, t * k))
-            keep = pos < cap
-
-        xk = jnp.repeat(x.astype(self.dtype), k, axis=1)
-
-        if variant == "nodispatch":
-            need = e * cap
-            pad = need - t * k if need > t * k else 0
-            src = jnp.pad(xk, ((0, 0), (0, pad), (0, 0)))[:, :need]
-            expert_in = src.reshape(b, e, cap, h)
-        else:
-            def dispatch_row(idx_r, pos_r, xk_r):
-                buf = jnp.zeros((e, cap + 1, h), self.dtype)
-                return buf.at[idx_r, pos_r].set(xk_r)[:, :cap]
-
-            expert_in = jax.vmap(dispatch_row)(flat_idx, pos, xk)
+        pos, keep, slot, tok, filled = _sort_routing(flat_idx, e, cap)
+        use_dropout = ((not deterministic) and rate > 0.0
+                       and variant not in ("nodrop", "noelem"))
+        drop_key = self.make_rng("dropout") if use_dropout else None
 
         w1 = self.param("expert_w1", nn.initializers.normal(0.02),
                         (e, h, f))
@@ -103,25 +90,50 @@ def make_abl_class():
                         (e, f, h))
         b2 = self.param("expert_b2", nn.initializers.zeros, (e, h))
 
-        if variant == "noexpert":
-            out = expert_in
-        else:
-            hdn = jnp.einsum("bech,ehf->becf", expert_in,
-                             w1.astype(self.dtype))
-            hdn = nn.relu(hdn + b1[None, :, None].astype(self.dtype))
-            out = jnp.einsum("becf,efh->bech", hdn, w2.astype(self.dtype))
-            out = out + b2[None, :, None].astype(self.dtype)
+        xk = jnp.repeat(x.astype(dtype), k, axis=1)        # [B, Tk, H]
 
-        if variant == "nodispatch":
-            got = out.reshape(b, e * cap, h)[:, :t * k]
-            if e * cap < t * k:
-                got = jnp.pad(got, ((0, 0), (0, t * k - e * cap), (0, 0)))
+        if variant == "emajor":
+            # e-major layout: one flattened gather builds [E, B*cap, H]
+            # directly, so the per-expert dot needs no [B,E]->[E,B]
+            # transpose and M = B*cap is contiguous.
+            tk = t * k
+            boff = jnp.arange(b, dtype=tok.dtype) * tk       # [B]
+            gtok = (tok.reshape(b, e, cap) + boff[:, None, None])
+            gtok = gtok.transpose(1, 0, 2).reshape(1, e * b * cap)
+            gfill = filled.reshape(b, e, cap).transpose(1, 0, 2).reshape(
+                1, e * b * cap)
+            gslot = (slot + boff[:, None] * 0)  # slot within row, fix below
+            # token -> global slot: slot = e_j*cap + pos; global slot for
+            # (b, e_j, pos) in e-major [E, B, cap] flattening:
+            gslot = ((flat_idx * b + jnp.arange(b, dtype=tok.dtype)[:, None])
+                     * cap + jnp.minimum(pos, cap - 1))
+            gslot = (gslot + boff[:, None] * 0).reshape(1, b * tk)
+            gkeep = keep.reshape(1, b * tk)
+            xk_flat = xk.reshape(1, b * tk, h)
+            expert_in = _gather_rows(
+                xk_flat, gtok, gfill, gslot, gkeep).reshape(e, b * cap, h)
+            hdn = jnp.einsum("emh,ehf->emf", expert_in, w1.astype(dtype))
+            hdn = nn.relu(hdn + b1[:, None].astype(dtype))
+            if use_dropout:
+                hdn = _keyed_dropout(hdn, drop_key, rate)
+            out = jnp.einsum("emf,efh->emh", hdn, w2.astype(dtype))
+            out = out + b2[:, None].astype(dtype)            # [E, B*cap, H]
+            got = _gather_rows(out.reshape(1, e * b * cap, h), gslot, gkeep,
+                               gtok, gfill).reshape(b, t * k, h)
         else:
-            def combine_row(out_r, idx_r, pos_r):
-                return out_r[idx_r, jnp.minimum(pos_r, cap - 1)]
-
-            got = jax.vmap(combine_row)(out, flat_idx, pos)
-        w = (gate.reshape(b, t * k) * keep).astype(self.dtype)
+            expert_in = _gather_rows(
+                xk, tok, filled, slot, keep).reshape(b, e, cap, h)
+            hdn = jnp.einsum("bech,ehf->becf", expert_in, w1.astype(dtype))
+            if variant != "noelem":
+                hdn = nn.relu(hdn + b1[None, :, None].astype(dtype))
+            if use_dropout:
+                hdn = _keyed_dropout(hdn, drop_key, rate)
+            out = jnp.einsum("becf,efh->bech", hdn, w2.astype(dtype))
+            if variant != "noelem":
+                out = out + b2[None, :, None].astype(dtype)
+            got = _gather_rows(out.reshape(b, e * cap, h), slot, keep,
+                               tok, filled)
+        w = (gate.reshape(b, t * k) * keep).astype(dtype)
         return jnp.sum((got * w[..., None]).reshape(b, t, k, h), axis=2)
 
     return AblMoEFFN
@@ -137,7 +149,8 @@ def run(variant):
 
     from weathermodel_tpu.models import moe as moe_mod
 
-    if variant != "full":
+    dispatch = "scatter" if variant == "scatter" else "sort"
+    if variant not in ("full", "scatter"):
         moe_mod.MoEFFN = make_abl_class()
 
     from weathermodel_tpu.models import WeatherBERT
@@ -151,7 +164,8 @@ def run(variant):
     from weathermodel_tpu.utils.config import model_config_for_size
 
     cfg = model_config_for_size("large", compute_dtype="bfloat16",
-                                num_experts=EXPERTS, moe_top_k=2)
+                                num_experts=EXPERTS, moe_top_k=2,
+                                moe_dispatch=dispatch)
     model = WeatherBERT(cfg, attention_impl="pallas_qkv")
     t, f = cfg.max_len, cfg.weather_dim
     rng = np.random.default_rng(0)

@@ -142,6 +142,27 @@ def _sort_routing(flat_idx, e, cap):
     return pos, keep, slot, tok, filled.reshape(b, e * cap)
 
 
+def _globalize_routing(flat_idx, pos, keep, tok, filled, e, cap):
+    """Fold the batch dim into the index maps, E-MAJOR: expert slots are
+    laid out [E, B, cap] and tokens [B, Tk], so one flattened gather
+    builds expert_in as [E, B*cap, H] directly. The per-expert dot then
+    sees batch dim E LEADING and a contiguous M = B*cap — XLA inserts no
+    [B,E]<->[E,B] transposes around the einsums (measured +19%,
+    scripts/abl_moe.py 'emajor'; the b-major layout paid ~45 ms/step of
+    relayouts at flagship shapes)."""
+    b, tk = flat_idx.shape
+    boff = jnp.arange(b, dtype=tok.dtype) * tk                # [B]
+    gtok = (tok.reshape(b, e, cap) + boff[:, None, None])
+    gtok = gtok.transpose(1, 0, 2).reshape(1, e * b * cap)
+    gfill = filled.reshape(b, e, cap).transpose(1, 0, 2).reshape(
+        1, e * b * cap)
+    # token -> its slot in the e-major [E, B, cap] flattening
+    gslot = ((flat_idx * b + jnp.arange(b, dtype=tok.dtype)[:, None]) * cap
+             + jnp.minimum(pos, cap - 1)).reshape(1, b * tk)
+    gkeep = keep.reshape(1, b * tk)
+    return gtok, gfill, gslot, gkeep
+
+
 class MoEFFN(nn.Module):
     """Top-k routed expert FFN: router -> dispatch -> per-expert
     (linear1 -> relu -> dropout -> linear2) -> weighted combine.
@@ -227,6 +248,8 @@ class MoEFFN(nn.Module):
         flat_idx = idx.reshape(b, t * k)                       # token-major
         if self.dispatch == "sort":
             pos, keep, slot, tok, filled = _sort_routing(flat_idx, e, cap)
+            gtok, gfill, gslot, gkeep = _globalize_routing(
+                flat_idx, pos, keep, tok, filled, e, cap)
         elif self.dispatch == "scatter":
             # Running count over a row's tokens gives each (token, slot)
             # its slot index inside its expert's per-row buffer.
@@ -272,10 +295,12 @@ class MoEFFN(nn.Module):
             xk = jnp.repeat(x_.astype(dtype), k, axis=1)       # [B, T*k, H]
 
             if sort_dispatch:
-                keep_, slot_, tok_, filled_ = routing
-                # dispatch AND its backward are gathers (_gather_rows)
+                gtok_, gfill_, gslot_, gkeep_ = routing
+                # dispatch AND its backward are gathers (_gather_rows);
+                # e-major flattened layout (see _globalize_routing)
                 expert_in = _gather_rows(
-                    xk, tok_, filled_, slot_, keep_).reshape(b, e, cap, h)
+                    xk.reshape(1, b * t * k, h), gtok_, gfill_, gslot_,
+                    gkeep_).reshape(e, b * cap, h)
             else:
                 flat_idx_, pos_ = routing
 
@@ -287,19 +312,30 @@ class MoEFFN(nn.Module):
                 expert_in = jax.vmap(dispatch_row)(flat_idx_, pos_, xk)
 
             # per-expert FFN (batched MXU einsums)
-            hdn = jnp.einsum("bech,ehf->becf", expert_in, w1_.astype(dtype))
-            hdn = nn.relu(hdn + b1_[None, :, None].astype(dtype))
+            if sort_dispatch:
+                # [E, M, H] x [E, H, F]: batch dim leading, M contiguous
+                hdn = jnp.einsum("emh,ehf->emf", expert_in,
+                                 w1_.astype(dtype))
+                hdn = nn.relu(hdn + b1_[:, None].astype(dtype))
+            else:
+                hdn = jnp.einsum("bech,ehf->becf", expert_in,
+                                 w1_.astype(dtype))
+                hdn = nn.relu(hdn + b1_[None, :, None].astype(dtype))
             if use_dropout:
                 # same impl dispatch as blocks._dropout (bits8 default /
                 # "nn" ablation), but keyed explicitly for remat replay
                 hdn = _keyed_dropout(hdn, drop_key_, rate)
-            out = jnp.einsum("becf,efh->bech", hdn, w2_.astype(dtype))
-            out = out + b2_[None, :, None].astype(dtype)       # [B,E,C,H]
-
             if sort_dispatch:
-                got = _gather_rows(out.reshape(b, e * cap, h), slot_,
-                                   keep_, tok_, filled_)       # [B, T*k, H]
+                out = jnp.einsum("emf,efh->emh", hdn, w2_.astype(dtype))
+                out = out + b2_[:, None].astype(dtype)         # [E, M, H]
+                got = _gather_rows(
+                    out.reshape(1, e * b * cap, h), gslot_, gkeep_,
+                    gtok_, gfill_).reshape(b, t * k, h)
             else:
+                out = jnp.einsum("becf,efh->bech", hdn, w2_.astype(dtype))
+                out = out + b2_[None, :, None].astype(dtype)   # [B,E,C,H]
+
+            if not sort_dispatch:
                 # combine: gather each slot's output, gate-weighted
                 def combine_row(out_r, idx_r, pos_r):
                     return out_r[idx_r, jnp.minimum(pos_r, cap - 1)]
@@ -311,6 +347,6 @@ class MoEFFN(nn.Module):
         if self.remat:
             expert_compute = jax.checkpoint(expert_compute)
         w = (gate.reshape(b, t * k) * keep).astype(self.dtype)
-        routing = ((keep, slot, tok, filled) if sort_dispatch
+        routing = ((gtok, gfill, gslot, gkeep) if sort_dispatch
                    else (flat_idx, pos))
         return expert_compute(x, w1, b1, w2, b2, routing, w, drop_key)
