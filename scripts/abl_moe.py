@@ -13,6 +13,8 @@ FLOP/shape-preserving variants to isolate where the step time goes:
   nodrop      expert-FFN dropout skipped (bias/relu kept)
   noelem      bias/relu/dropout all skipped (pure einsums)
   scatter     the pre-round-3c per-row .at[].set formulation
+  fusedep     bias+relu+dropout as ONE custom-vjp epilogue that saves
+              only the post-activation tensor (bwd = one mask pass)
 
 All variants are numerically WRONG (except full); they exist only to
 attribute time. Timing: full train step via bench.py conventions (host
@@ -92,7 +94,38 @@ def make_abl_class():
 
         xk = jnp.repeat(x.astype(dtype), k, axis=1)        # [B, Tk, H]
 
-        if variant == "emajor":
+        def _fused_epilogue(pre, bias, key, p_rate, with_dropout):
+            """relu(pre + bias) [+ dropout], custom vjp saving ONLY the
+            result y: relu mask == dropout-survivor mask == (y > 0), and
+            the dropout scale is a constant — bwd is one elementwise
+            pass + a bias reduce."""
+            from weathermodel_tpu.ops import dropout as fast_dropout
+
+            scale = 1.0
+            if with_dropout:
+                scale = 1.0  # fast_dropout scales internally by 1/keep
+            @jax.custom_vjp
+            def ep(pre_, bias_):
+                y = nn.relu(pre_ + bias_[:, None].astype(pre_.dtype))
+                if with_dropout:
+                    y = fast_dropout.dropout(y, key, p_rate)
+                return y
+
+            def ep_fwd(pre_, bias_):
+                y = ep(pre_, bias_)
+                return y, y
+
+            def ep_bwd(y, g):
+                keep_scale = (1.0 / (1.0 - p_rate)) if with_dropout else 1.0
+                dpre = jnp.where(y > 0, g * jnp.asarray(
+                    keep_scale, g.dtype), jnp.zeros((), g.dtype))
+                db = jnp.sum(dpre, axis=tuple(range(1, dpre.ndim - 1)))
+                return dpre, db.astype(jnp.float32)
+
+            ep.defvjp(ep_fwd, ep_bwd)
+            return ep(pre, bias)
+
+        if variant in ("emajor", "fusedep"):
             # e-major layout: one flattened gather builds [E, B*cap, H]
             # directly, so the per-expert dot needs no [B,E]->[E,B]
             # transpose and M = B*cap is contiguous.
@@ -113,9 +146,12 @@ def make_abl_class():
             expert_in = _gather_rows(
                 xk_flat, gtok, gfill, gslot, gkeep).reshape(e, b * cap, h)
             hdn = jnp.einsum("emh,ehf->emf", expert_in, w1.astype(dtype))
-            hdn = nn.relu(hdn + b1[:, None].astype(dtype))
-            if use_dropout:
-                hdn = _keyed_dropout(hdn, drop_key, rate)
+            if variant == "fusedep":
+                hdn = _fused_epilogue(hdn, b1, drop_key, rate, use_dropout)
+            else:
+                hdn = nn.relu(hdn + b1[:, None].astype(dtype))
+                if use_dropout:
+                    hdn = _keyed_dropout(hdn, drop_key, rate)
             out = jnp.einsum("emf,efh->emh", hdn, w2.astype(dtype))
             out = out + b2[:, None].astype(dtype)            # [E, B*cap, H]
             got = _gather_rows(out.reshape(1, e * b * cap, h), gslot, gkeep,
