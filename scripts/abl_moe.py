@@ -1,24 +1,26 @@
 #!/usr/bin/env python
 """MoE step-time attribution (flagship MoE bench config: large, E=8,
-top-2, B=96, T=365). Monkeypatches models.moe.MoEFFN.__call__ with
-FLOP/shape-preserving variants to isolate where the step time goes:
+top-2, B=96, T=365). Every variant modifies the SHIPPED path
+(sort routing -> e-major gather dispatch -> expert einsums with the
+fused bias/relu/dropout epilogue -> gather combine), with the building
+blocks imported from models/moe.py so the script cannot drift from the
+production code:
 
-  full        the shipped path (sort routing + gather dispatch +
-              expert einsums + gather combine; round-3c default)
-  noexpert    expert einsums replaced by identity — keeps router +
-              dispatch/combine, removes the MoE MXU work
-  nodispatch  dispatch/combine replaced by reshapes of the token stream —
-              keeps router + einsums, removes the dispatch data movement
-  norouter    static round-robin routing — isolates the routing math
-  nodrop      expert-FFN dropout skipped (bias/relu kept)
-  noelem      bias/relu/dropout all skipped (pure einsums)
+  full        the shipped path, unpatched (== bench.py MoE numbers)
   scatter     the pre-round-3c per-row .at[].set formulation
-  fusedep     bias+relu+dropout as ONE custom-vjp epilogue that saves
-              only the post-activation tensor (bwd = one mask pass)
+              (moe_dispatch="scatter", also unpatched)
+  noexpert    expert einsums replaced by identity — isolates the MXU work
+  nodispatch  dispatch/combine gathers replaced by reshapes — isolates
+              the data movement
+  nodrop      expert-FFN dropout off (bias/relu kept, fused epilogue)
+  noelem      bias/relu/dropout all skipped (pure einsums)
+  unfusedep   bias -> relu -> dropout as separate ops (the pre-fusion
+              sequence, for the epilogue-win record)
 
-All variants are numerically WRONG (except full); they exist only to
-attribute time. Timing: full train step via bench.py conventions (host
-transfer barrier). Run on the chip: python scripts/abl_moe.py
+Variants other than full/scatter are numerically WRONG or
+non-reference; they exist only to attribute time. Timing: full train
+step via bench.py conventions (host transfer barrier). Run on the chip:
+python scripts/abl_moe.py <variant>
 """
 
 import os
@@ -45,15 +47,18 @@ def make_abl_class():
     from weathermodel_tpu.models import moe as moe_mod
     from weathermodel_tpu.models.moe import (
         Z_LOSS_SCALE,
+        _bias_relu_dropout,
         _gather_rows,
+        _globalize_routing,
         _keyed_dropout,
         _sort_routing,
         expert_capacity,
     )
 
     class AblMoEFFN(moe_mod.MoEFFN):
-        """FLOP/shape-preserving ablation variants (see module docstring);
-        the active variant is the script-level VARIANT global."""
+        """Variants of the shipped e-major sort path (see module
+        docstring); the active variant is the script-level VARIANT
+        global."""
 
         @nn.compact
         def __call__(self, x, deterministic=True):
@@ -81,6 +86,8 @@ def make_abl_class():
 
         flat_idx = idx.reshape(b, t * k)
         pos, keep, slot, tok, filled = _sort_routing(flat_idx, e, cap)
+        gtok, gfill, gslot, gkeep = _globalize_routing(
+            flat_idx, pos, keep, tok, filled, e, cap)
         use_dropout = ((not deterministic) and rate > 0.0
                        and variant not in ("nodrop", "noelem"))
         drop_key = self.make_rng("dropout") if use_dropout else None
@@ -93,82 +100,45 @@ def make_abl_class():
         b2 = self.param("expert_b2", nn.initializers.zeros, (e, h))
 
         xk = jnp.repeat(x.astype(dtype), k, axis=1)        # [B, Tk, H]
+        m = b * cap
 
-        def _fused_epilogue(pre, bias, key, p_rate, with_dropout):
-            """relu(pre + bias) [+ dropout], custom vjp saving ONLY the
-            result y: relu mask == dropout-survivor mask == (y > 0), and
-            the dropout scale is a constant — bwd is one elementwise
-            pass + a bias reduce."""
-            from weathermodel_tpu.ops import dropout as fast_dropout
-
-            scale = 1.0
-            if with_dropout:
-                scale = 1.0  # fast_dropout scales internally by 1/keep
-            @jax.custom_vjp
-            def ep(pre_, bias_):
-                y = nn.relu(pre_ + bias_[:, None].astype(pre_.dtype))
-                if with_dropout:
-                    y = fast_dropout.dropout(y, key, p_rate)
-                return y
-
-            def ep_fwd(pre_, bias_):
-                y = ep(pre_, bias_)
-                return y, y
-
-            def ep_bwd(y, g):
-                keep_scale = (1.0 / (1.0 - p_rate)) if with_dropout else 1.0
-                dpre = jnp.where(y > 0, g * jnp.asarray(
-                    keep_scale, g.dtype), jnp.zeros((), g.dtype))
-                db = jnp.sum(dpre, axis=tuple(range(1, dpre.ndim - 1)))
-                return dpre, db.astype(jnp.float32)
-
-            ep.defvjp(ep_fwd, ep_bwd)
-            return ep(pre, bias)
-
-        if variant in ("emajor", "fusedep"):
-            # e-major layout: one flattened gather builds [E, B*cap, H]
-            # directly, so the per-expert dot needs no [B,E]->[E,B]
-            # transpose and M = B*cap is contiguous.
-            tk = t * k
-            boff = jnp.arange(b, dtype=tok.dtype) * tk       # [B]
-            gtok = (tok.reshape(b, e, cap) + boff[:, None, None])
-            gtok = gtok.transpose(1, 0, 2).reshape(1, e * b * cap)
-            gfill = filled.reshape(b, e, cap).transpose(1, 0, 2).reshape(
-                1, e * b * cap)
-            gslot = (slot + boff[:, None] * 0)  # slot within row, fix below
-            # token -> global slot: slot = e_j*cap + pos; global slot for
-            # (b, e_j, pos) in e-major [E, B, cap] flattening:
-            gslot = ((flat_idx * b + jnp.arange(b, dtype=tok.dtype)[:, None])
-                     * cap + jnp.minimum(pos, cap - 1))
-            gslot = (gslot + boff[:, None] * 0).reshape(1, b * tk)
-            gkeep = keep.reshape(1, b * tk)
-            xk_flat = xk.reshape(1, b * tk, h)
+        if variant == "nodispatch":
+            need = e * m
+            src = xk.reshape(1, b * t * k, h)
+            pad = need - b * t * k
+            src = jnp.pad(src, ((0, 0), (0, max(pad, 0)), (0, 0)))
+            expert_in = src[:, :need].reshape(e, m, h)
+        else:
             expert_in = _gather_rows(
-                xk_flat, gtok, gfill, gslot, gkeep).reshape(e, b * cap, h)
+                xk.reshape(1, b * t * k, h), gtok, gfill, gslot,
+                gkeep).reshape(e, m, h)
+
+        if variant == "noexpert":
+            out = expert_in
+        else:
             hdn = jnp.einsum("emh,ehf->emf", expert_in, w1.astype(dtype))
-            if variant == "fusedep":
-                hdn = _fused_epilogue(hdn, b1, drop_key, rate, use_dropout)
-            else:
+            if variant == "noelem":
+                pass
+            elif variant == "unfusedep":
                 hdn = nn.relu(hdn + b1[:, None].astype(dtype))
                 if use_dropout:
                     hdn = _keyed_dropout(hdn, drop_key, rate)
+            else:
+                hdn = _bias_relu_dropout(hdn, b1, drop_key, rate,
+                                         use_dropout)
             out = jnp.einsum("emf,efh->emh", hdn, w2.astype(dtype))
-            out = out + b2[:, None].astype(dtype)            # [E, B*cap, H]
-            got = _gather_rows(out.reshape(1, e * b * cap, h), gslot, gkeep,
-                               gtok, gfill).reshape(b, t * k, h)
+            if variant != "noelem":
+                out = out + b2[:, None].astype(dtype)      # [E, M, H]
+
+        if variant == "nodispatch":
+            got = out.reshape(1, e * m, h)[:, :b * t * k]
+            pad = b * t * k - e * m
+            if pad > 0:
+                got = jnp.pad(got, ((0, 0), (0, pad), (0, 0)))
+            got = got.reshape(b, t * k, h)
         else:
-            expert_in = _gather_rows(
-                xk, tok, filled, slot, keep).reshape(b, e, cap, h)
-            hdn = jnp.einsum("bech,ehf->becf", expert_in, w1.astype(dtype))
-            if variant != "noelem":
-                hdn = nn.relu(hdn + b1[None, :, None].astype(dtype))
-            if use_dropout:
-                hdn = _keyed_dropout(hdn, drop_key, rate)
-            out = jnp.einsum("becf,efh->bech", hdn, w2.astype(dtype))
-            if variant != "noelem":
-                out = out + b2[None, :, None].astype(dtype)
-            got = _gather_rows(out.reshape(b, e * cap, h), slot, keep,
-                               tok, filled)
+            got = _gather_rows(out.reshape(1, e * m, h), gslot, gkeep,
+                               gtok, gfill).reshape(b, t * k, h)
         w = (gate.reshape(b, t * k) * keep).astype(dtype)
         return jnp.sum((got * w[..., None]).reshape(b, t, k, h), axis=2)
 

@@ -4,8 +4,11 @@
 background prefetch) vs numpy's np.load on the same .npz chunk store.
 
 The reference's analog is torch.load's native unpickler
-(pretraining_dataloader.py:203-205). Prints cold-read, warm-read, and
-prefetch-overlapped rates; results recorded in BASELINE.md.
+(pretraining_dataloader.py:203-205). All measurements are WARM-page-cache
+(one priming pass first): raw sequential parse rates for both readers,
+prefetch-overlapped native reads, and the pipeline shape (prefetch next
+chunk, then consume) that isolates the per-chunk stall training actually
+pays. Results recorded in BASELINE.md "Host data pipeline".
 """
 
 import os
@@ -17,16 +20,6 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
-
-
-def drop_caches_hint(paths):
-    # best effort: re-copy files to defeat the page cache for "cold" reads
-    out = []
-    for p in paths:
-        q = p + ".copy.npz"
-        shutil.copyfile(p, q)
-        out.append(q)
-    return out
 
 
 def main():

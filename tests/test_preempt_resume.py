@@ -46,7 +46,11 @@ def _trainer(data_dir, workdir, resume=False):
                        max_len=T)
     tcfg = TrainConfig(batch_size=16, num_epochs=N_EPOCHS, init_lr=1e-3,
                        num_warmup_epochs=1, decay_factor=None,
-                       checkpoint_every=100)  # no boundary saves in range
+                       # reference cadence fires at epoch % N == 1, so a
+                       # boundary save still lands at epoch 1 — which also
+                       # exercises Checkpointer.save's same-step
+                       # delete-then-save reuse after the mid-epoch save
+                       checkpoint_every=100)
     return PretrainTrainer(
         WeatherBERT(mcfg), "weatherbert", mcfg, tcfg,
         _make_loaders(data_dir), workdir=workdir, resume=resume,
@@ -121,3 +125,20 @@ def test_boundary_stop_when_signal_arrives_during_validation(data_dir,
     assert len(tr.output_json["losses"]["train"]["total_loss"]) == 1
     res = _trainer(data_dir, str(tmp_path / "valstop"), resume=True)
     assert res.start_epoch == 1 and res._resume_mid is None
+
+
+def test_resume_restores_optimal_lr_schedule(data_dir, tmp_path):
+    """A use_optimal_lr run bakes its found LR into output_json; resume
+    must rebuild the schedule from THAT value (and must not re-run the
+    finder from restored mid-training state — review finding r3c)."""
+    from weathermodel_tpu.ops.schedules import epoch_lr_schedule
+
+    tr = _trainer(data_dir, str(tmp_path / "lr"))
+    tr.output_json["model_config"]["optimal_lr"] = 3.3e-3
+    tr.checkpointer.save(0, tr.state, 1.0, tr.output_json)
+
+    res = _trainer(data_dir, str(tmp_path / "lr"), resume=True)
+    expected = epoch_lr_schedule(3.3e-3, res.cfg.num_warmup_epochs,
+                                 res.cfg.num_epochs, res.cfg.decay_factor)
+    for epoch in range(N_EPOCHS):
+        assert float(res.lr_schedule(epoch)) == float(expected(epoch))

@@ -356,8 +356,12 @@ class MoEFFN(nn.Module):
                                  w1_.astype(dtype))
                 from weathermodel_tpu.ops import dropout as fast_dropout
 
-                if use_dropout and fast_dropout.get_impl() == "nn":
-                    # ablation impl: keep the unfused reference sequence
+                if use_dropout and fast_dropout.get_impl() in ("nn",
+                                                               "skip"):
+                    # ablation impls whose forward is NOT the
+                    # where(keep, x/(1-rate), 0) scale-form the fused
+                    # backward assumes ('skip' is identity, 'nn' draws a
+                    # different mask recipe): keep the unfused sequence
                     hdn = nn.relu(hdn + b1_[:, None].astype(dtype))
                     hdn = _keyed_dropout(hdn, drop_key_, rate)
                 else:

@@ -62,7 +62,7 @@ class Checkpointer:
 
     def restore(self, state_template: TrainState,
                 epoch: Optional[int] = None
-                ) -> Tuple[TrainState, int, float, dict]:
+                ) -> Tuple[TrainState, int, float, dict, Optional[dict]]:
         epoch = epoch if epoch is not None else self.manager.latest_step()
         restored = self.manager.restore(
             epoch,

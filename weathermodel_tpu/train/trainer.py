@@ -256,6 +256,16 @@ class PretrainTrainer:
         self.state, epoch, self.best_val_loss, self.output_json, mid = (
             self.checkpointer.restore(self.state)
         )
+        # A use_optimal_lr run baked its found LR into output_json; the
+        # resumed schedule must use THAT value, not cfg.init_lr (and the
+        # finder must not re-run from restored mid-training state).
+        optimal = self.output_json.get("model_config", {}).get("optimal_lr")
+        if optimal is not None:
+            self.lr_schedule = epoch_lr_schedule(
+                optimal, self.cfg.num_warmup_epochs, self.cfg.num_epochs,
+                self.cfg.decay_factor,
+            )
+            logger.info("Restored optimal LR %.3e from checkpoint", optimal)
         if mid is not None:
             # preemption checkpoint taken INSIDE `epoch` — continue that
             # epoch at the recorded step (exact: loader order and the
@@ -379,6 +389,9 @@ class PretrainTrainer:
                 "boundary, then stopping", signum)
             self._stop_requested = True
 
+        # a previous preempted train() on this instance must not make the
+        # next one stop after its first step
+        self._stop_requested = False
         for sig in (signal.SIGTERM,):
             try:
                 old_handlers[sig] = signal.signal(sig, _on_signal)
@@ -392,7 +405,11 @@ class PretrainTrainer:
 
     def _train_loop(self) -> Dict[str, float]:
         cfg = self.cfg
-        if self.start_epoch == 0:
+        # _resume_mid: a preemption inside epoch 0 restored MID-training
+        # state; re-running the LR range test from it would pick a
+        # different LR than the uninterrupted run (the original optimal
+        # LR is already baked into the restored output_json/schedule path)
+        if self.start_epoch == 0 and self._resume_mid is None:
             self._maybe_find_optimal_lr()
         # Profiling hook (SURVEY.md §5.1 — the reference has none; we expose
         # jax.profiler traces + samples/sec/chip, the bench north star).
