@@ -14,8 +14,12 @@ production code:
               the data movement
   nodrop      expert-FFN dropout off (bias/relu kept, fused epilogue)
   noelem      bias/relu/dropout all skipped (pure einsums)
+  fused       the shipped fused epilogue, but inside the patched
+              harness — the fair A/B partner for unfusedep (the
+              harness router omits the balance-loss term, so patched
+              variants must only be compared to each other)
   unfusedep   bias -> relu -> dropout as separate ops (the pre-fusion
-              sequence, for the epilogue-win record)
+              sequence, for the epilogue record)
 
 Variants other than full/scatter are numerically WRONG or
 non-reference; they exist only to attribute time. Timing: full train
@@ -85,7 +89,7 @@ def make_abl_class():
                      reduce_fn=lambda a_, b_: a_ + b_, init_fn=lambda: 0.0)
 
         flat_idx = idx.reshape(b, t * k)
-        pos, keep, slot, tok, filled = _sort_routing(flat_idx, e, cap)
+        pos, keep, slot, tok, filled, n_e = _sort_routing(flat_idx, e, cap)
         gtok, gfill, gslot, gkeep = _globalize_routing(
             flat_idx, pos, keep, tok, filled, e, cap)
         use_dropout = ((not deterministic) and rate > 0.0

@@ -457,7 +457,7 @@ def test_sort_routing_matches_cumsum_routing():
         pos_ref, flat_idx[..., None], axis=2)[..., 0]
     keep_ref = pos_ref < cap
 
-    pos, keep, slot, tok, filled = _sort_routing(flat_idx, e, cap)
+    pos, keep, slot, tok, filled, n_e = _sort_routing(flat_idx, e, cap)
     np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep_ref))
     np.testing.assert_array_equal(np.asarray(pos)[np.asarray(keep)],
                                   np.asarray(pos_ref)[np.asarray(keep_ref)])

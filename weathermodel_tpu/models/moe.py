@@ -151,12 +151,14 @@ def _sort_routing(flat_idx, e, cap):
     capacity race), so `pos`/`keep` are IDENTICAL to the exclusive-cumsum
     formulation (equivalence-tested in tests/test_moe.py).
 
-    Returns (pos, keep, slot, tok, filled):
+    Returns (pos, keep, slot, tok, filled, n_e):
       pos    [B, Tk] position of each (token, slot) inside its expert
       keep   [B, Tk] pos < cap
       slot   [B, Tk] flat expert-slot id e_j*cap + min(pos, cap-1)
       tok    [B, E*cap] token index filling each slot (garbage if empty)
       filled [B, E*cap] slot actually filled
+      n_e    [B, E] pre-capacity per-expert assignment counts (feeds the
+             Switch balance density with no extra one-hot pass)
     """
     b, tk = flat_idx.shape
     order = jnp.argsort(flat_idx, axis=1, stable=True)       # [B, Tk]
@@ -177,7 +179,7 @@ def _sort_routing(flat_idx, e, cap):
     filled = c_ar[None, None, :] < jnp.minimum(n_e, cap)[:, :, None]
     tok = jnp.take_along_axis(
         order, jnp.clip(slot_pos, 0, tk - 1).reshape(b, e * cap), axis=1)
-    return pos, keep, slot, tok, filled.reshape(b, e * cap)
+    return pos, keep, slot, tok, filled.reshape(b, e * cap), n_e
 
 
 def _globalize_routing(flat_idx, pos, keep, tok, filled, e, cap):
@@ -266,28 +268,21 @@ class MoEFFN(nn.Module):
             gate = gate / jnp.maximum(
                 jnp.sum(gate, axis=-1, keepdims=True), 1e-9)
 
-        # --- aux losses (Switch balance + z-loss), batch-global ------
-        # f_e: fraction of routed (token, slot) assignments per expert;
-        # P_e: mean router prob. e * sum(f*P) == 1 at perfect balance.
-        assign = jax.nn.one_hot(idx, e, dtype=jnp.float32)     # [B, T, k, E]
-        density = jnp.mean(jnp.sum(assign, axis=2), axis=(0, 1))  # [E]
-        balance = e * jnp.sum(density / k * jnp.mean(probs, axis=(0, 1)))
-        z = jax.scipy.special.logsumexp(logits, axis=-1)
-        aux = balance + Z_LOSS_SCALE * jnp.mean(jnp.square(z))
-        if not self.is_initializing():
-            # (guard: sowing during init would bake a 'moe' collection
-            # into the checkpointed variables)
-            self.sow("moe", "aux_loss", aux,
-                     reduce_fn=lambda a, b: a + b, init_fn=lambda: 0.0)
-
         # --- position-in-expert + capacity drop (per row) ------------
         # Priority order (both formulations): earlier tokens & higher-
         # gate slots win the capacity race (GShard semantics).
         flat_idx = idx.reshape(b, t * k)                       # token-major
+        density = None
         if self.dispatch == "sort":
-            pos, keep, slot, tok, filled = _sort_routing(flat_idx, e, cap)
+            pos, keep, slot, tok, filled, n_e = _sort_routing(
+                flat_idx, e, cap)
             gtok, gfill, gslot, gkeep = _globalize_routing(
                 flat_idx, pos, keep, tok, filled, e, cap)
+            # pre-capacity per-expert counts fall out of the sort for
+            # free: density == mean over (B, T) of the [B,T,k,E] one-hot
+            # assignment sum the classic formulation materializes
+            # (measured ~11 ms/step at the flagship config)
+            density = jnp.mean(n_e.astype(jnp.float32), axis=0) / t
         elif self.dispatch == "scatter":
             # Running count over a row's tokens gives each (token, slot)
             # its slot index inside its expert's per-row buffer.
@@ -299,10 +294,28 @@ class MoEFFN(nn.Module):
             # Dropped tokens scatter into the sacrificial slot `cap`.
             pos = jnp.where(keep, pos, cap)
             slot = tok = filled = None
+            # reuse the routing one-hot for the balance density
+            density = jnp.mean(
+                jnp.sum(onehot, axis=1).astype(jnp.float32), axis=0) / t
         else:
             raise ValueError(
                 f"dispatch must be 'sort' or 'scatter', got "
                 f"{self.dispatch!r}")
+
+        # --- aux losses (Switch balance + z-loss), batch-global ------
+        # f_e: fraction of routed (token, slot) assignments per expert;
+        # P_e: mean router prob. e * sum(f*P) == 1 at perfect balance.
+        # density comes from the routing byproducts above (sort: n_e;
+        # scatter: the cumsum one-hot) — integer-exact equal to the
+        # classic mean over the [B,T,k,E] one-hot assignment tensor.
+        balance = e * jnp.sum(density / k * jnp.mean(probs, axis=(0, 1)))
+        z = jax.scipy.special.logsumexp(logits, axis=-1)
+        aux = balance + Z_LOSS_SCALE * jnp.mean(jnp.square(z))
+        if not self.is_initializing():
+            # (guard: sowing during init would bake a 'moe' collection
+            # into the checkpointed variables)
+            self.sow("moe", "aux_loss", aux,
+                     reduce_fn=lambda a, b: a + b, init_fn=lambda: 0.0)
 
         # --- expert params -------------------------------------------
         def expert_init(base):
