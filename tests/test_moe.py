@@ -469,3 +469,44 @@ def test_sort_routing_matches_cumsum_routing():
                 s = int(slot[bi, j])
                 assert bool(filled[bi, s])
                 assert int(tok[bi, s]) == j
+
+
+@pytest.mark.parametrize("e,k,t,capf", [
+    (1, 1, 16, 1.0),    # single expert: everything routes to it
+    (4, 4, 12, 2.0),    # k == e: every token to every expert
+    (8, 2, 8, 0.25),    # tiny capacity: heavy drops
+    (3, 2, 40, 1.5),    # non-power-of-two expert count
+])
+def test_sort_routing_identity_across_shapes(e, k, t, capf):
+    """The argsort routing must reproduce the exclusive-cumsum pos/keep
+    and a consistent slot<->token bijection for edge-case shapes: one
+    expert, k=e, drop-heavy capacity, non-power-of-two experts."""
+    from weathermodel_tpu.models.moe import _sort_routing, expert_capacity
+
+    rng = np.random.default_rng(e * 100 + k)
+    cap = expert_capacity(t, e, k, capf)
+    flat_idx = jnp.asarray(rng.integers(0, e, size=(3, t * k)))
+
+    onehot = jax.nn.one_hot(flat_idx, e, dtype=jnp.int32)
+    pos_ref = jnp.cumsum(onehot, axis=1) - onehot
+    pos_ref = jnp.take_along_axis(
+        pos_ref, flat_idx[..., None], axis=2)[..., 0]
+    keep_ref = np.asarray(pos_ref < cap)
+
+    pos, keep, slot, tok, filled, n_e = _sort_routing(flat_idx, e, cap)
+    np.testing.assert_array_equal(np.asarray(keep), keep_ref)
+    np.testing.assert_array_equal(np.asarray(pos)[keep_ref],
+                                  np.asarray(pos_ref)[keep_ref])
+    # n_e == raw per-expert assignment counts
+    np.testing.assert_array_equal(
+        np.asarray(n_e), np.asarray(jnp.sum(onehot, axis=1)))
+    # bijection on the kept set; filled count == min(n_e, cap) per expert
+    filled_np = np.asarray(filled).reshape(3, e, cap)
+    np.testing.assert_array_equal(
+        filled_np.sum(-1), np.minimum(np.asarray(n_e), cap))
+    for bi in range(3):
+        for j in range(t * k):
+            if keep_ref[bi, j]:
+                s = int(np.asarray(slot)[bi, j])
+                assert filled_np[bi].reshape(-1)[s]
+                assert int(np.asarray(tok)[bi, s]) == j

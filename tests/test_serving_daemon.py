@@ -225,3 +225,26 @@ def test_warmup_compiles_every_bucket(predictor):
     out = predictor(*_arrays(3, 12)[:4],
                     weather_feature_mask=_arrays(3, 12)[4])
     assert out.shape == (3, T, F)
+
+
+def test_http_rejects_oversized_body(predictor):
+    srv, batcher = make_server(predictor, port=0, max_wait_ms=1.0,
+                               max_body_mb=0.001)  # 1 KB limit
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        status, data = _post_npz(srv.server_address[1],
+                                 weather=_arrays(4, 20)[0])
+        assert status == 400 and b"exceeds" in data
+    finally:
+        srv.shutdown()
+        batcher.close()
+        srv.server_close()
+        th.join(timeout=5)
+
+
+def test_batcher_rejects_submit_after_close(predictor):
+    mb = MicroBatcher(predictor, max_wait_ms=1.0)
+    mb.close()
+    with pytest.raises(RuntimeError, match="shut down"):
+        mb.submit(*_arrays(1, 21))
