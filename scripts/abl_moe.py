@@ -14,10 +14,9 @@ production code:
               the data movement
   nodrop      expert-FFN dropout off (bias/relu kept, fused epilogue)
   noelem      bias/relu/dropout all skipped (pure einsums)
-  fused       the shipped fused epilogue, but inside the patched
-              harness — the fair A/B partner for unfusedep (the
-              harness router omits the balance-loss term, so patched
-              variants must only be compared to each other)
+  fused       the shipped fused epilogue inside the patched harness —
+              the fair A/B partner for unfusedep (the harness now
+              computes the full aux like the real module)
   unfusedep   bias -> relu -> dropout as separate ops (the pre-fusion
               sequence, for the epilogue record)
 
@@ -82,14 +81,17 @@ def make_abl_class():
         gate, idx = jax.lax.top_k(probs, k)
         gate = gate / jnp.maximum(jnp.sum(gate, axis=-1, keepdims=True),
                                   1e-9)
+        flat_idx = idx.reshape(b, t * k)
+        pos, keep, slot, tok, filled, n_e = _sort_routing(flat_idx, e, cap)
+        # full aux (balance from n_e + z), matching the real module so
+        # patched-vs-unpatched comparisons carry no router confound
+        density = jnp.mean(n_e.astype(jnp.float32), axis=0) / t
+        balance = e * jnp.sum(density / k * jnp.mean(probs, axis=(0, 1)))
         z = jax.scipy.special.logsumexp(logits, axis=-1)
-        aux = jnp.mean(jnp.square(z)) * Z_LOSS_SCALE
+        aux = balance + jnp.mean(jnp.square(z)) * Z_LOSS_SCALE
         if not self.is_initializing():
             self.sow("moe", "aux_loss", aux,
                      reduce_fn=lambda a_, b_: a_ + b_, init_fn=lambda: 0.0)
-
-        flat_idx = idx.reshape(b, t * k)
-        pos, keep, slot, tok, filled, n_e = _sort_routing(flat_idx, e, cap)
         gtok, gfill, gslot, gkeep = _globalize_routing(
             flat_idx, pos, keep, tok, filled, e, cap)
         use_dropout = ((not deterministic) and rate > 0.0
