@@ -142,3 +142,41 @@ def test_resume_restores_optimal_lr_schedule(data_dir, tmp_path):
                                  res.cfg.num_epochs, res.cfg.decay_factor)
     for epoch in range(N_EPOCHS):
         assert float(res.lr_schedule(epoch)) == float(expected(epoch))
+
+
+def test_preempt_resume_is_exact_with_moe(data_dir, tmp_path):
+    """The bit-exact resume contract must survive the MoE composition
+    (sown 'moe' aux in the objective, sort-dispatch routing, expert
+    params in the optimizer state)."""
+    mcfg = ModelConfig(num_heads=4, num_layers=1, hidden_dim_factor=12,
+                       max_len=T, num_experts=2, moe_top_k=1)
+    tcfg = TrainConfig(batch_size=16, num_epochs=2, init_lr=1e-3,
+                       num_warmup_epochs=1, decay_factor=None,
+                       checkpoint_every=100)
+
+    def make(workdir, resume=False):
+        return PretrainTrainer(
+            WeatherBERT(mcfg), "weatherbert", mcfg, tcfg,
+            _make_loaders(data_dir), workdir=workdir, resume=resume)
+
+    base = make(str(tmp_path / "moe_base"))
+    base.train()
+    base_params = _flat(base.state.params)
+
+    pre = make(str(tmp_path / "moe_pre"))
+    orig_step = pre._train_step
+    calls = {"n": 0}
+
+    def step_and_stop(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            pre._stop_requested = True  # as if SIGTERM mid-epoch-0
+        return orig_step(*a, **kw)
+
+    pre._train_step = step_and_stop
+    assert pre.train()["preempted"] is True
+
+    res = make(str(tmp_path / "moe_pre"), resume=True)
+    assert res.start_epoch == 0 and res._resume_mid["batch_idx"] == 2
+    res.train()
+    np.testing.assert_array_equal(base_params, _flat(res.state.params))
