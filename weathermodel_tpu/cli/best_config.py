@@ -72,16 +72,45 @@ def run_best_config_tests(tsv_path: str, base_args, out_path: str) -> None:
         append_row(out_path, row)  # appended immediately (HPC-safe)
 
 
+def grid_search_tsv_path(results_dir: str, model: str, crop_type: str,
+                         country: str, test_type: str,
+                         pretrained: bool) -> str:
+    """Derive the sweep's TSV path from its identifying flags — the
+    reference's get_grid_search_file_path convention
+    (best_config_tests.py:263-267, 280-283) mapped onto our grid-search
+    file naming (cli/grid_search.py GridSearch.__init__)."""
+    tag = f"{model}_{crop_type}_{country}_{test_type}"
+    if pretrained:
+        tag += "_pretrained"
+    return os.path.join(results_dir, f"grid_search_{tag}.tsv")
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     from weathermodel_tpu.cli.yield_main import build_parser as yield_parser
 
     p = yield_parser()
-    p.add_argument("--grid-tsv", required=True)
+    p.add_argument("--grid-tsv", default=None,
+                   help="explicit grid-search TSV; when omitted the path is "
+                        "derived from --grid-search-results-dir + the "
+                        "model/crop/country/test-type flags (reference "
+                        "best_config_tests.py convention)")
+    p.add_argument("--grid-search-results-dir", default="data/grid_search",
+                   help="where the grid-search sweep wrote its TSVs "
+                        "(reference best_config_tests.py --grid-search-"
+                        "results-dir)")
+    p.add_argument("--load-pretrained", action="store_true",
+                   help="the sweep being consumed was run with "
+                        "--load-pretrained (its TSV carries the "
+                        "_pretrained tag)")
     p.add_argument("--out-path", default="data/best_config_tests/results.tsv")
     args = p.parse_args(argv)
+    tsv = args.grid_tsv or grid_search_tsv_path(
+        args.grid_search_results_dir, args.model, args.crop_type,
+        args.country, args.test_type,
+        bool(args.load_pretrained or args.pretrained_model_path))
     os.makedirs(os.path.dirname(args.out_path), exist_ok=True)
-    run_best_config_tests(args.grid_tsv, args, args.out_path)
+    run_best_config_tests(tsv, args, args.out_path)
 
 
 if __name__ == "__main__":

@@ -17,7 +17,12 @@ def build_parser() -> argparse.ArgumentParser:
     from weathermodel_tpu.cli.yield_main import build_parser as yp
 
     p = yp()
-    p.set_defaults(crop_type=None, n_train_years=5, n_past_years=4)
+    # Reference cropnet_main.py defaults (cropnet_main.py:14-85): the
+    # CropNet loop trains mini models over 3 past / 4 train years with a
+    # 0.95 decay and k=3 mixture components.
+    p.set_defaults(crop_type=None, n_train_years=4, n_past_years=3,
+                   model_size="mini", decay_factor=0.95,
+                   n_mixture_components=3)
     return p
 
 

@@ -26,6 +26,32 @@ BETAS = (0.0, 1e-4, 1e-3)
 BATCH_SIZES = (16, 32, 64)
 LRS = (2.5e-4, 5e-4, 1e-3)
 
+# --load-pretrained checkpoint convention (reference grid_search.py:14-28
+# PRETRAINED_MODEL_PATHS — fixed per-model paths the user's pretraining
+# runs are expected to have produced). Ours point at the pretrain CLI's
+# default workdir layout ({workdir}/best orbax params dir); the reference
+# quirk of fine-tuning chronos from a fake autoencoder path is NOT
+# replicated — chronos simply has no pretrained path here and is trained
+# unfrozen like any other from-scratch model (docs/PARITY.md).
+PRETRAINED_MODEL_PATHS = {
+    "weatherbert": "checkpoints/pretraining/weatherbert/best",
+    "weatherformer": "checkpoints/pretraining/weatherformer/best",
+    "weatherautoencoder": "checkpoints/pretraining/weatherautoencoder/best",
+    "weatherformersinusoid":
+        "checkpoints/pretraining/weatherformersinusoid/best",
+    "weatherformermixture":
+        "checkpoints/pretraining/weatherformermixture/best",
+    "weatherautoencodermixture":
+        "checkpoints/pretraining/weatherautoencoder/best",
+    "weatherautoencodersinusoid":
+        "checkpoints/pretraining/weatherautoencoder/best",
+    "simmtm": "checkpoints/pretraining/simmtm/best",
+    "cnnrnn": None,
+    "gnnrnn": None,
+    "linear": None,
+    "chronos": None,
+}
+
 TSV_COLUMNS = ("model", "crop_type", "country", "test_type", "beta",
                "batch_size", "init_lr", "n_train_years", "rmse", "r2",
                "status")
@@ -145,7 +171,14 @@ def build_parser() -> argparse.ArgumentParser:
     from weathermodel_tpu.cli.yield_main import build_parser as yield_parser
 
     p = yield_parser()
-    p.add_argument("--out-dir", default="data/grid_search")
+    p.add_argument("--out-dir", "--output-dir", dest="out_dir",
+                   default="data/grid_search",
+                   help="directory for TSV/JSON results (reference "
+                        "grid_search.py --output-dir)")
+    p.add_argument("--load-pretrained", action="store_true",
+                   help="initialize each cell from the per-model pretrained "
+                        "checkpoint convention (PRETRAINED_MODEL_PATHS; "
+                        "reference grid_search.py:14-28,155-165)")
     p.add_argument("--betas", default=None,
                    help="comma-separated override, e.g. 0,1e-4")
     p.add_argument("--grid-batch-sizes", default=None)
@@ -158,6 +191,22 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s - %(levelname)s - %(message)s")
     args = build_parser().parse_args(argv)
+
+    if getattr(args, "load_pretrained", False) \
+            and not args.pretrained_model_path:
+        path = PRETRAINED_MODEL_PATHS.get(args.model)
+        if path is not None:
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"--load-pretrained: no checkpoint at {path!r} — run "
+                    f"wm-pretrain --model {args.model} --workdir "
+                    f"{os.path.dirname(path)!r} first, or pass "
+                    "--pretrained-model-path explicitly")
+            args.pretrained_model_path = path
+        else:
+            logger.info("--load-pretrained: %s has no pretrained "
+                        "checkpoint convention; training from scratch",
+                        args.model)
 
     def parse_list(s, typ):
         return tuple(typ(x) for x in s.split(",")) if s else None

@@ -102,7 +102,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def make_model(name: str, cfg: ModelConfig, attention_impl: str,
-               remat: bool = False):
+               remat: bool = False, ffn_impl: str = "xla"):
     from weathermodel_tpu.models import (
         SimMTM,
         WeatherAutoencoder,
@@ -134,7 +134,8 @@ def make_model(name: str, cfg: ModelConfig, attention_impl: str,
             f"Unknown model type: {name}. Choose one of "
             + ", ".join(PRETRAIN_MODELS)
         )
-    return table[name](cfg, attention_impl=attention_impl, remat=remat)
+    return table[name](cfg, attention_impl=attention_impl, remat=remat,
+                       ffn_impl=ffn_impl)
 
 
 # CLI model name -> internal trainer key (OBJECTIVE_FOR_MODEL)

@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--moe-experts", default=0, type=int,
                    help="must match the checkpoint's --moe-experts")
     p.add_argument("--moe-top-k", default=2, type=int)
+    p.add_argument("--quantize", default="none", choices=("none", "int8"),
+                   help="int8: dynamic W8A8 FFN matmuls (ops/quant.py) — "
+                        "v5e int8 MXU runs 2x bf16 peak; accuracy drift "
+                        "measured in BASELINE.md")
     return p
 
 
@@ -86,6 +90,7 @@ def _make_predictor(args: argparse.Namespace, t: int):
             args.attention_impl, args.model_size, mode="eval"),
         max_len=t, buckets=buckets,
         num_experts=args.moe_experts, moe_top_k=args.moe_top_k,
+        quantize=args.quantize,
     )
 
 

@@ -20,6 +20,12 @@ YIELD_MODELS = (
     "chronos",
 )
 
+# The reference names this model inconsistently: grid_search.py:542-558
+# offers --model weatherautoencodersinusoid while yield_main.py:198 only
+# dispatches "weatherautoencodersine" — the reference's own grid search
+# crashes for it (docs/PARITY.md). We accept both spellings.
+MODEL_ALIASES = {"weatherautoencodersinusoid": "weatherautoencodersine"}
+
 
 def _run_gnnrnn_cv(args, crop_df, country: str) -> dict:
     """GNN-RNN runs through the SAME cross-validation machinery as every
@@ -98,8 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-mixture-components", default=1, type=int)
     p.add_argument("--crop-type", default="soybean")
     p.add_argument("--country", default="usa")
-    p.add_argument("--test-type", default="overall",
-                   choices=("overall", "extreme", "ahead_pred"))
+    p.add_argument("--test-type", default="extreme",
+                   choices=("overall", "extreme", "ahead_pred"),
+                   help="extreme (per-country/crop extreme-year table, the "
+                        "reference default — yield_main.py:102-107), overall "
+                        "(2014-18), or ahead_pred (2014-18, test_gap=4)")
     p.add_argument("--test-year", default=None, type=int,
                    help="pin a single test year (one fold) instead of the "
                         "test-type fold table (reference yield_main.py)")
@@ -134,6 +143,7 @@ def run(args) -> dict:
     from weathermodel_tpu.train.yield_trainer import YieldCrossValidator
     from weathermodel_tpu.utils import constants
 
+    args.model = MODEL_ALIASES.get(args.model, args.model)
     data_dir = args.data_dir or constants.DATA_DIR
     if getattr(args, "crop_df", None) is not None:
         crop_df = args.crop_df  # injected (grid search / tests)
@@ -229,6 +239,7 @@ def main(argv=None):
     import jax
 
     jax.config.update("jax_default_prng_impl", args.prng)
+    args.model = MODEL_ALIASES.get(args.model, args.model)
     if args.model not in YIELD_MODELS:
         raise ValueError(
             f"Unknown model type: {args.model}. Choose one of "

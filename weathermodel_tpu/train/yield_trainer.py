@@ -79,6 +79,12 @@ EXTREME_YEARS = {
 
 def select_test_years(test_type: str, country: str, crop_type: str) -> Tuple[int, ...]:
     if test_type == "extreme":
+        if country == "synthetic":
+            # our synthetic corpus (not a reference country) has no
+            # extreme-year table; the CLI default --test-type extreme
+            # falls back to the overall fold years so synthetic smoke
+            # flows keep working
+            return TEST_YEARS
         years = EXTREME_YEARS.get(country, {}).get(crop_type)
         if years is None:
             raise ValueError(
