@@ -100,14 +100,21 @@ def main():
         moe_top_k=int(os.environ.get("BENCH_MOE_TOP_K", "2")),
         moe_remat=os.environ.get("BENCH_MOE_REMAT", "0") != "0",
         moe_dispatch=os.environ.get("BENCH_MOE_DISPATCH", "sort"))
+    # BENCH_FFN_IMPL=int8 benches the dynamic-W8A8 FFN serving path
+    # (ops/quant.py; eval mode only — the int8 FFN has no backward).
+    ffn_impl = os.environ.get("BENCH_FFN_IMPL", "xla")
     if objective == "elbo":
         from weathermodel_tpu.models import WeatherFormer
 
-        model = WeatherFormer(cfg, attention_impl=attention_impl)
+        model = WeatherFormer(cfg, attention_impl=attention_impl,
+                              ffn_impl=ffn_impl)
         model_tag = "weatherformer"
     else:
-        model = WeatherBERT(cfg, attention_impl=attention_impl)
+        model = WeatherBERT(cfg, attention_impl=attention_impl,
+                            ffn_impl=ffn_impl)
         model_tag = "weatherbert"
+    if ffn_impl != "xla":
+        model_tag += f"_{ffn_impl}"
     t, f = cfg.max_len, cfg.weather_dim
 
     rng = np.random.default_rng(0)

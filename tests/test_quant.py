@@ -1,0 +1,114 @@
+"""Dynamic-int8 (W8A8) serving path: ops/quant.py + ffn_impl="int8".
+
+CPU tests: quantized dense accuracy vs fp matmul, exactness on
+exactly-representable inputs, end-to-end model drift bound, and the
+training guard. Throughput is a TPU measurement (BASELINE.md int8
+serving table; BENCH_MODE=eval BENCH_FFN_IMPL=int8 python bench.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from weathermodel_tpu.ops.quant import int8_dense, quantize_int8
+
+
+def test_quantize_int8_roundtrip_bound():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 96)).astype(np.float32))
+    q, s = quantize_int8(x, axis=-1)
+    assert q.dtype == jnp.int8
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - np.asarray(x))
+    # symmetric absmax: per-row error bounded by scale/2 = amax/254
+    amax = np.abs(np.asarray(x)).max(axis=-1, keepdims=True)
+    assert (err <= amax / 254.0 + 1e-7).all()
+
+
+def test_int8_dense_exact_on_representable_inputs():
+    # integers in [-127, 127] scaled by a power of two quantize exactly
+    rng = np.random.default_rng(1)
+    x = (rng.integers(-127, 128, size=(8, 16)) / 64.0).astype(np.float32)
+    w = (rng.integers(-127, 128, size=(16, 24)) / 32.0).astype(np.float32)
+    # force the row/col absmax to 127's slot so scales are exact p.o.t.
+    x[:, 0] = 127 / 64.0
+    w[0, :] = 127 / 32.0
+    y = np.asarray(int8_dense(jnp.asarray(x), jnp.asarray(w)))
+    np.testing.assert_allclose(y, x @ w, rtol=1e-6, atol=1e-5)
+
+
+def test_int8_dense_close_to_fp():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(4, 32, 48)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(48, 64)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    y = np.asarray(int8_dense(x, w, b))
+    ref = np.asarray(x) @ np.asarray(w) + np.asarray(b)
+    denom = np.abs(ref).mean()
+    assert np.abs(y - ref).mean() / denom < 0.02, "W8A8 drift too large"
+
+
+def _mini_model_and_batch(ffn_impl):
+    from weathermodel_tpu.models import WeatherBERT
+    from weathermodel_tpu.utils.config import model_config_for_size
+
+    cfg = model_config_for_size("mini", max_len=52)
+    model = WeatherBERT(cfg, attention_impl="xla", ffn_impl=ffn_impl)
+    rng = np.random.default_rng(3)
+    b, t, f = 4, 52, cfg.weather_dim
+    batch = (
+        jnp.asarray(rng.normal(size=(b, t, f)).astype(np.float32)),
+        jnp.asarray(rng.uniform(-60, 60, size=(b, 2)).astype(np.float32)),
+        jnp.full((b, t), 1999.0, jnp.float32),
+        jnp.full((b, 1), 7.0, jnp.float32),
+        jnp.asarray(rng.random((b, t, f)) < 0.2),
+    )
+    return model, cfg, batch
+
+
+def test_model_int8_ffn_matches_fp_within_drift_budget():
+    model_fp, _, batch = _mini_model_and_batch("xla")
+    model_q, _, _ = _mini_model_and_batch("int8")
+    params = model_fp.init(jax.random.PRNGKey(0), *batch)
+    out_fp = np.asarray(model_fp.apply(params, *batch, deterministic=True))
+    out_q = np.asarray(model_q.apply(params, *batch, deterministic=True))
+    # same parameter tree (checkpoints interop), bounded output drift
+    rel = np.abs(out_q - out_fp).mean() / np.abs(out_fp).mean()
+    assert rel < 0.05, f"int8 FFN drift {rel:.4f} exceeds budget"
+    assert not np.allclose(out_q, out_fp), "int8 path appears inactive"
+
+
+def test_int8_ffn_refuses_training_dropout():
+    model_q, _, batch = _mini_model_and_batch("int8")
+    params = model_q.init(jax.random.PRNGKey(0), *batch)
+    with pytest.raises(ValueError, match="serving/eval"):
+        model_q.apply(params, *batch, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+
+
+def test_serve_quantize_flag_smoke(tmp_path):
+    """load_weather_predictor(quantize='int8') serves a saved checkpoint
+    and stays close to the fp predictor."""
+    import orbax.checkpoint as ocp
+
+    from weathermodel_tpu.serve import load_weather_predictor
+
+    model_fp, cfg, batch = _mini_model_and_batch("xla")
+    params = model_fp.init(jax.random.PRNGKey(0), *batch)
+    path = tmp_path / "best"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(path), params)
+    ckptr.wait_until_finished()
+
+    kw = dict(model_size="mini", model_name="weatherbert",
+              attention_impl="xla", max_len=52, buckets=(8,))
+    pred_fp = load_weather_predictor(str(path), **kw)
+    pred_q = load_weather_predictor(str(path), quantize="int8", **kw)
+    w, c, y, i, m = (np.asarray(a) for a in batch)
+    out_fp = pred_fp(w, c, y, i, m)
+    out_q = pred_q(w, c, y, i, m)
+    rel = np.abs(out_q - out_fp).mean() / np.abs(out_fp).mean()
+    assert rel < 0.05
+
+    with pytest.raises(ValueError, match="quantize"):
+        load_weather_predictor(str(path), quantize="int4", **kw)

@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8: dynamic W8A8 FFN matmuls (ops/quant.py) — "
                         "v5e int8 MXU runs 2x bf16 peak; accuracy drift "
                         "measured in BASELINE.md")
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"),
+                   help="bfloat16 = MXU-rate serving (default); float32 "
+                        "for exact numerics parity")
     return p
 
 
@@ -90,7 +94,7 @@ def _make_predictor(args: argparse.Namespace, t: int):
             args.attention_impl, args.model_size, mode="eval"),
         max_len=t, buckets=buckets,
         num_experts=args.moe_experts, moe_top_k=args.moe_top_k,
-        quantize=args.quantize,
+        quantize=args.quantize, compute_dtype=args.compute_dtype,
     )
 
 

@@ -274,7 +274,22 @@ class TransformerEncoderLayer(nn.Module):
                 ln_s, ln_b, dropout_rate=drop, dropout_seed=seed,
             ).astype(self.dtype)
 
-        if self.ffn_impl == "pallas2":
+        if self.ffn_impl == "int8":
+            # Serving-only dynamic W8A8 FFN (ops/quant.py): v5e int8 MXU
+            # peak is 2x bf16. Inference has no backward to protect, and
+            # dropout is off, so the only cost is the measured accuracy
+            # drift (BASELINE.md int8 table).
+            if drop > 0.0:
+                raise ValueError(
+                    "ffn_impl='int8' is a serving/eval path; training "
+                    "with dropout active would differentiate through "
+                    "round() (zero gradient). Train in bf16/fp32 and "
+                    "quantize at serve time.")
+            from weathermodel_tpu.ops.quant import int8_dense
+
+            ff = nn.relu(int8_dense(x, w1, b1))
+            ff = int8_dense(ff, w2, b2)
+        elif self.ffn_impl == "pallas2":
             # fused FFN fwd kernel (both FFN dropout sites in-kernel),
             # XLA backward via activation-sparsity masks (ops/pallas_ffn2)
             from weathermodel_tpu.ops.pallas_ffn2 import fused_ffn

@@ -37,13 +37,14 @@ class WeatherFormer(nn.Module):
     attention_impl: str = "xla"
     remat: bool = False
     name_tag: str = "weatherformer"
+    ffn_impl: str = "xla"
 
     def encode(self, weather, coords, year, interval, weather_feature_mask,
                src_key_padding_mask, deterministic):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         hidden = WeatherEncoderCore(
-            cfg, self.attention_impl, self.remat, name="core"
+            cfg, self.attention_impl, self.remat, self.ffn_impl, name="core"
         )(
             weather, coords, year, interval, weather_feature_mask,
             src_key_padding_mask, deterministic,

@@ -1,0 +1,55 @@
+"""Dynamic-int8 (W8A8) dense for the serving path.
+
+TPU v5e's MXU runs int8 x int8 -> int32 matmuls at 2x the bf16 rate
+(394 TOPS vs 197 TFLOP/s peak), so for inference — where there is no
+backward pass to keep in higher precision — quantizing the FFN matmuls
+trades a bounded amount of accuracy for MXU throughput. This is a
+beyond-reference serving capability (the reference serves fp32 eager
+PyTorch); opt in with `ffn_impl="int8"` / `wm-serve --quantize int8`.
+
+Scheme (standard dynamic W8A8):
+  * activations: per-token (row) symmetric absmax scale, computed on the
+    fly — weather activations are LayerNormed so rows are well-behaved;
+  * weights: per-output-channel symmetric absmax scale;
+  * accumulate int32 on the MXU (`preferred_element_type`), dequantize
+    with the rank-1 scale outer product, add bias in float.
+
+Quantizing the weights per call costs one absmax+round over [H, O] —
+noise against the [B*T, H] x [H, O] matmul it feeds. No calibration
+data or fake-quant training is needed; accuracy drift is measured and
+recorded in BASELINE.md (masked-MAE delta on a trained checkpoint).
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _absmax_scale(x, axis):
+    """Symmetric absmax scale such that x / scale fits int8 [-127, 127]."""
+    amax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    return jnp.maximum(amax, 1e-8).astype(jnp.float32) / 127.0
+
+
+def quantize_int8(x, axis):
+    """-> (q int8, scale f32 with keepdims) so that q * scale ~= x."""
+    scale = _absmax_scale(x, axis)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def int8_dense(x, w, b=None, out_dtype=None):
+    """y = x @ w (+ b) with dynamic per-row activation / per-channel
+    weight int8 quantization. x: [..., K], w: [K, O] (float); returns
+    [..., O] in `out_dtype` (default: x.dtype)."""
+    out_dtype = out_dtype or x.dtype
+    xq, xs = quantize_int8(x, axis=-1)          # [..., K] int8, [..., 1]
+    wq, ws = quantize_int8(w, axis=0)           # [K, O] int8, [1, O]
+    acc = jax.lax.dot_general(
+        xq, wq,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                            # [..., O] int32
+    y = acc.astype(jnp.float32) * xs * ws
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(out_dtype)

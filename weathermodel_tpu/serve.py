@@ -86,16 +86,31 @@ def load_weather_predictor(
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     num_experts: int = 0,
     moe_top_k: int = 2,
+    quantize: str = "none",
+    compute_dtype: str = "bfloat16",
 ) -> WeatherPredictor:
     """num_experts must match the checkpoint's training config (MoE
-    checkpoints carry expert_* params; a mismatch raises here)."""
+    checkpoints carry expert_* params; a mismatch raises here).
+
+    quantize="int8" serves the FFN matmuls with dynamic W8A8 quantization
+    (ops/quant.py) — v5e int8 MXU runs at 2x the bf16 rate; accuracy
+    drift is measured in BASELINE.md.
+
+    compute_dtype defaults to bfloat16 (the MXU-rate serving path, the
+    dtype every BASELINE.md eval number is measured in); pass "float32"
+    for exact-parity serving (params are float32 either way)."""
     from weathermodel_tpu.cli.pretrain import load_pretrained_params, make_model
     from weathermodel_tpu.models.transfer import has_moe_layers
 
+    if quantize not in ("none", "int8"):
+        raise ValueError(f"quantize must be 'none' or 'int8', got "
+                         f"{quantize!r}")
     cfg = model_config_for_size(model_size, max_len=max_len,
                                 num_experts=num_experts,
-                                moe_top_k=moe_top_k)
-    model = make_model(model_name, cfg, attention_impl)
+                                moe_top_k=moe_top_k,
+                                compute_dtype=compute_dtype)
+    model = make_model(model_name, cfg, attention_impl,
+                       ffn_impl="int8" if quantize == "int8" else "xla")
     params = load_pretrained_params(checkpoint_path, cfg.num_layers)
     if has_moe_layers(params) != (num_experts > 0):
         raise ValueError(
