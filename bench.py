@@ -145,8 +145,13 @@ def main():
         def step(state, batch, key, lr, n_masked):
             return state, eval_fn(state.params, batch, key, n_masked)
     else:
+        # BENCH_GRAD_ACCUM=N: accumulate N microbatch gradients per update
+        # (lax.scan; peak activations = one microbatch) — the big-batch
+        # memory knob, A/B'd against moe_remat in BASELINE.md.
+        grad_accum = int(os.environ.get("BENCH_GRAD_ACCUM", "1"))
         step = compile_step(
-            make_train_step(model, objective, masking, tx=tx),
+            make_train_step(model, objective, masking, tx=tx,
+                            grad_accum=grad_accum),
             mesh, donate_state=True,
         )
     sharded = shard_batch(mesh, batch)

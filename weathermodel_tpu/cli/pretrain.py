@@ -89,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize the expert FFN in the backward pass "
                         "(~3x larger batch fits in HBM, ~30%% slower per "
                         "step single-chip — see BASELINE.md MoE section)")
+    p.add_argument("--grad-accum", default=1, type=int,
+                   help="split each batch into N microbatches and "
+                        "accumulate gradients under lax.scan (peak "
+                        "activation memory = one microbatch) before a "
+                        "single optimizer update — for configs whose "
+                        "optimal batch does not fit HBM")
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + optimizer moments over the 'data' "
                         "mesh axis (ZeRO-3-style; per-chip state memory / "
@@ -233,6 +239,7 @@ def run(args: argparse.Namespace) -> dict:
         pipeline_stages=args.pipeline_stages,
         pipeline_microbatches=args.pipeline_microbatches,
         tensor_parallel=args.tensor_parallel,
+        grad_accum=args.grad_accum,
     )
     return trainer.train()
 

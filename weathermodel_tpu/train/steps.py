@@ -171,11 +171,24 @@ def _objective_losses(model, objective, params, batch, mask, beta,
 
 def make_train_step(model, objective: str, masking: str, *,
                     masking_prob: float = 0.15, beta: float = 1.0,
-                    tx=None):
-    """Returns train_step(state, batch, key, lr, n_masked) -> (state, metrics)."""
-    tx = tx or make_optimizer()
+                    tx=None, grad_accum: int = 1):
+    """Returns train_step(state, batch, key, lr, n_masked) -> (state, metrics).
 
-    def train_step(state: TrainState, batch: Batch, key, lr, n_masked):
+    grad_accum > 1 splits the incoming batch into that many microbatches,
+    accumulates their gradients under a `lax.scan` (peak activation memory
+    = ONE microbatch), and applies a single optimizer update with the mean
+    gradient — the TPU-idiomatic equivalent of DDP gradient accumulation,
+    for configs where the optimal global batch does not fit HBM (e.g. MoE
+    at the dense-optimal batch, BASELINE.md moe_remat discussion). Each
+    microbatch draws its own mask/dropout keys (statistically identical to
+    running grad_accum smaller steps); reported metrics are the mean of
+    the per-microbatch values.
+    """
+    tx = tx or make_optimizer()
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+
+    def _grads_losses(params, batch: Batch, key, n_masked):
         b, t, f = batch.weather.shape
         mask_key, dropout_key, sample_key = jax.random.split(key, 3)
         mask = make_mask(masking, mask_key, b, t, f,
@@ -189,17 +202,52 @@ def make_train_step(model, objective: str, masking: str, *,
             )
             return losses["total_loss"], losses
 
-        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        return jax.grad(loss_fn, has_aux=True)(params)
+
+    def _apply_update(state: TrainState, grads, lr):
         opt_state = state.opt_state
         opt_state.hyperparams["learning_rate"] = lr
         updates, new_opt_state = tx.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
+        return TrainState(
             params=new_params, opt_state=new_opt_state, step=state.step + 1
         )
-        return new_state, losses
 
-    return train_step
+    def train_step(state: TrainState, batch: Batch, key, lr, n_masked):
+        grads, losses = _grads_losses(state.params, batch, key, n_masked)
+        return _apply_update(state, grads, lr), losses
+
+    if grad_accum == 1:
+        return train_step
+
+    def accum_train_step(state: TrainState, batch: Batch, key, lr, n_masked):
+        b = batch.weather.shape[0]
+        if b % grad_accum != 0:
+            raise ValueError(
+                f"batch size {b} is not divisible by grad_accum="
+                f"{grad_accum}")
+        mb = b // grad_accum
+
+        def split(x):
+            return (None if x is None
+                    else x.reshape(grad_accum, mb, *x.shape[1:]))
+
+        micro = Batch(*(split(a) for a in batch))
+        keys = jax.random.split(key, grad_accum)
+
+        def body(gsum, xs):
+            k, mbatch = xs
+            grads, losses = _grads_losses(state.params, mbatch, k, n_masked)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            return gsum, losses
+
+        gsum, stacked = jax.lax.scan(
+            body, jax.tree.map(jnp.zeros_like, state.params), (keys, micro))
+        grads = jax.tree.map(lambda g: g / grad_accum, gsum)
+        losses = jax.tree.map(lambda a: jnp.mean(a, axis=0), stacked)
+        return _apply_update(state, grads, lr), losses
+
+    return accum_train_step
 
 
 def make_eval_step(model, objective: str, masking: str, *,

@@ -68,6 +68,7 @@ class PretrainTrainer:
         pipeline_stages: int = 1,
         pipeline_microbatches: int = 4,
         tensor_parallel: int = 1,
+        grad_accum: int = 1,
     ):
         """make_loaders(split, shuffle, seed) -> iterator of Batch.
 
@@ -183,7 +184,7 @@ class PretrainTrainer:
             make_train_step(
                 step_model, self.objective, self.masking,
                 masking_prob=train_cfg.masking_prob, beta=train_cfg.beta,
-                tx=tx,
+                tx=tx, grad_accum=grad_accum,
             ),
             self.mesh, donate_state=True,
             state_shardings=state_shardings,
