@@ -73,8 +73,12 @@ def main():
     size = os.environ.get("BENCH_MODEL_SIZE", "large")
     # Throughput-optimal per-chip batch per size (measured, BASELINE.md;
     # large re-swept under the bits8 dropout impl).
-    # (large re-swept r3 after the kernel pad-pass removal: 288 > 224)
-    default_batch = {"mini": 1024, "small": 512, "medium": 384, "large": 288}
+    # (large re-swept r3 after the kernel pad-pass removal: 288 > 224;
+    # r3-cont: effective 576 = 2 x 288-microbatch gradient accumulation —
+    # the scan amortizes the Adam update / step boundaries, measured
+    # 1002 vs 985 samples/s same-session at identical per-sample FLOPs)
+    default_batch = {"mini": 1024, "small": 512, "medium": 384, "large": 576}
+    default_accum = {"large": 2}
     batch_per_chip = int(
         os.environ.get("BENCH_BATCH_PER_CHIP", default_batch.get(size, 512))
     )
@@ -147,8 +151,13 @@ def main():
     else:
         # BENCH_GRAD_ACCUM=N: accumulate N microbatch gradients per update
         # (lax.scan; peak activations = one microbatch) — the big-batch
-        # memory knob, A/B'd against moe_remat in BASELINE.md.
-        grad_accum = int(os.environ.get("BENCH_GRAD_ACCUM", "1"))
+        # memory knob, A/B'd against moe_remat in BASELINE.md. The large
+        # default is 2 only when the batch default was not overridden
+        # (custom batch sweeps stay single-step unless asked).
+        default_ga = (default_accum.get(size, 1)
+                      if ("BENCH_BATCH_PER_CHIP" not in os.environ
+                          and moe_experts == 0) else 1)
+        grad_accum = int(os.environ.get("BENCH_GRAD_ACCUM", default_ga))
         step = compile_step(
             make_train_step(model, objective, masking, tx=tx,
                             grad_accum=grad_accum),
@@ -176,9 +185,11 @@ def main():
 
     samples_per_sec = b * n_steps / dt
     per_chip = samples_per_sec / n_chips
+    ga = grad_accum if mode != "eval" else 1
     print(
         f"[bench] {model_tag}-{size} B={b} T={t} chips={n_chips} "
-        f"impl={attention_impl} mode={mode} steps={n_steps} wall={dt:.3f}s "
+        f"impl={attention_impl} mode={mode} grad_accum={ga} "
+        f"steps={n_steps} wall={dt:.3f}s "
         f"loss={float(metrics['total_loss']):.4f}",
         file=sys.stderr,
     )
