@@ -105,6 +105,9 @@ def main(argv=None):
                         "_pretrained tag)")
     p.add_argument("--out-path", default="data/best_config_tests/results.tsv")
     args = p.parse_args(argv)
+    from weathermodel_tpu.utils.compilation_cache import enable_from_args
+
+    enable_from_args(args)
     tsv = args.grid_tsv or grid_search_tsv_path(
         args.grid_search_results_dir, args.model, args.crop_type,
         args.country, args.test_type,

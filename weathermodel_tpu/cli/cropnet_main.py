@@ -120,6 +120,9 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s - %(levelname)s - %(message)s")
     args = build_parser().parse_args(argv)
+    from weathermodel_tpu.utils.compilation_cache import enable_from_args
+
+    enable_from_args(args)
     return run(args)
 
 

@@ -191,6 +191,9 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s - %(levelname)s - %(message)s")
     args = build_parser().parse_args(argv)
+    from weathermodel_tpu.utils.compilation_cache import enable_from_args
+
+    enable_from_args(args)
 
     if getattr(args, "load_pretrained", False) \
             and not args.pretrained_model_path:

@@ -99,6 +99,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard params + optimizer moments over the 'data' "
                         "mesh axis (ZeRO-3-style; per-chip state memory / "
                         "n_devices, gathers ride ICI)")
+    from weathermodel_tpu.utils.compilation_cache import add_flag
+
+    add_flag(p)
     p.add_argument("--prng", default="rbg",
                    choices=("rbg", "threefry2x32"),
                    help="rbg = hardware-accelerated PRNG for masking/dropout"
@@ -253,6 +256,9 @@ def main():
     import jax
 
     jax.config.update("jax_default_prng_impl", args.prng)
+    from weathermodel_tpu.utils.compilation_cache import enable_from_args
+
+    enable_from_args(args)
     logger.info("Command-line arguments:")
     for k, v in vars(args).items():
         logger.info("%s: %s", k, v)

@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("bfloat16", "float32"),
                    help="bfloat16 = MXU-rate serving (default); float32 "
                         "for exact numerics parity")
+    from weathermodel_tpu.utils.compilation_cache import add_flag
+
+    add_flag(p)
     return p
 
 
@@ -145,7 +148,11 @@ def run(args: argparse.Namespace) -> dict:
 def main():
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s - %(levelname)s - %(message)s")
-    run(build_parser().parse_args())
+    args = build_parser().parse_args()
+    from weathermodel_tpu.utils.compilation_cache import enable_from_args
+
+    enable_from_args(args)
+    run(args)
 
 
 if __name__ == "__main__":

@@ -122,6 +122,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", default=1234, type=int)
     p.add_argument("--workdir", default=None,
                    help="save per-fold best params + yield_output.json here")
+    from weathermodel_tpu.utils.compilation_cache import add_flag
+
+    add_flag(p)
     p.add_argument("--prng", default="rbg",
                    choices=("rbg", "threefry2x32"),
                    help="rbg = hardware-accelerated PRNG for masking/dropout"
@@ -239,6 +242,9 @@ def main(argv=None):
     import jax
 
     jax.config.update("jax_default_prng_impl", args.prng)
+    from weathermodel_tpu.utils.compilation_cache import enable_from_args
+
+    enable_from_args(args)
     args.model = MODEL_ALIASES.get(args.model, args.model)
     if args.model not in YIELD_MODELS:
         raise ValueError(
