@@ -179,8 +179,15 @@ def run(args) -> dict:
         seed=args.seed,
     )
 
-    # synthetic data standardizes like USA (in-dataset z-score)
+    # synthetic data standardizes like USA (in-dataset z-score) — but the
+    # remap must not route fold selection through USA's EXTREME_YEARS
+    # table (whose first fold, 2003, predates the synthetic corpus):
+    # the --test-type extreme reference default falls back to the overall
+    # fold years for synthetic, mirroring select_test_years' fallback for
+    # callers that pass country="synthetic" directly.
     country = "usa" if args.country.lower() == "synthetic" else args.country.lower()
+    if args.country.lower() == "synthetic" and args.test_type == "extreme":
+        args.test_type = "overall"
     if args.model == "gnnrnn":
         results = _run_gnnrnn_cv(args, crop_df, country)
         logger.info("Final average best RMSE for %s: %.3f +/- %.3f",
