@@ -248,3 +248,122 @@ def test_batcher_rejects_submit_after_close(predictor):
     mb.close()
     with pytest.raises(RuntimeError, match="shut down"):
         mb.submit(*_arrays(1, 21))
+
+
+# ---- checkpoint hot-reload ------------------------------------------------
+
+def _fresh_predictor(seed=0):
+    from weathermodel_tpu.models import WeatherBERT
+
+    model = WeatherBERT(CFG)
+    params = model.init(jax.random.PRNGKey(seed),
+                        *map(np.asarray, _arrays(2)))
+    return model, params
+
+
+def test_swap_params_hot_reload_changes_outputs():
+    model, params0 = _fresh_predictor(0)
+    _, params1 = _fresh_predictor(7)
+    pred = WeatherPredictor(model, params0, buckets=(4,))
+    args = _arrays(3, 30)
+    before = pred(*args[:4], weather_feature_mask=args[4])
+    n = pred.swap_params(params1)
+    assert n == sum(int(np.prod(p.shape))
+                    for p in jax.tree_util.tree_leaves(params1))
+    after = pred(*args[:4], weather_feature_mask=args[4])
+    assert not np.allclose(before, after)  # genuinely new weights
+    direct = WeatherPredictor(model, params1, buckets=(4,))(
+        *args[:4], weather_feature_mask=args[4])
+    np.testing.assert_allclose(after, direct, atol=1e-5)
+
+
+def test_swap_params_rejects_mismatched_tree():
+    from weathermodel_tpu.models import WeatherBERT
+
+    model, params0 = _fresh_predictor(0)
+    pred = WeatherPredictor(model, params0, buckets=(4,))
+    other = WeatherBERT(ModelConfig(num_heads=4, num_layers=2,
+                                    hidden_dim_factor=12, max_len=T,
+                                    dropout_rate=0.0))
+    params_other = other.init(jax.random.PRNGKey(1),
+                              *map(np.asarray, _arrays(2)))
+    with pytest.raises(ValueError, match="tree does not match"):
+        pred.swap_params(params_other)
+    # wrong leaf shapes, same tree: a different hidden width
+    wide = WeatherBERT(ModelConfig(num_heads=4, num_layers=1,
+                                   hidden_dim_factor=16, max_len=T,
+                                   dropout_rate=0.0))
+    params_wide = wide.init(jax.random.PRNGKey(1),
+                            *map(np.asarray, _arrays(2)))
+    with pytest.raises(ValueError, match="leaf mismatch"):
+        pred.swap_params(params_wide)
+
+
+def test_http_reload_roundtrip(tmp_path):
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from weathermodel_tpu.serve import reload_predictor_params
+
+    model, params0 = _fresh_predictor(0)
+    _, params1 = _fresh_predictor(7)
+    ckpt = os.path.join(str(tmp_path), "new_weights")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(ckpt, params1)
+    ckptr.wait_until_finished()
+    pred = WeatherPredictor(model, params0, buckets=(4,))
+    srv, batcher = make_server(
+        pred, port=0, max_wait_ms=1.0,
+        reload_fn=lambda p: reload_predictor_params(pred, p),
+        checkpoint="initial")
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    port = srv.server_address[1]
+    try:
+        args = _arrays(3, 31)
+        kw = dict(weather=args[0], coords=args[1], year=args[2],
+                  interval=args[3], mask=args[4])
+        _, before = _post_npz(port, **kw)
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/reload",
+                     body=json.dumps({"checkpoint": ckpt}).encode())
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        assert resp.status == 200 and out["ok"] and out["checkpoint"] == ckpt
+
+        # bad body and tree-mismatch both 400, daemon stays up
+        conn.request("POST", "/reload", body=b"not json")
+        assert conn.getresponse().status == 400
+        conn.request("POST", "/reload",
+                     body=json.dumps({"checkpoint": "/nonexistent"}).encode())
+        assert conn.getresponse().status == 400
+
+        conn.request("GET", "/stats")
+        stats = json.loads(conn.getresponse().read())
+        conn.close()
+        assert stats["n_reloads"] == 1 and stats["checkpoint"] == ckpt
+
+        _, after = _post_npz(port, **kw)
+        with np.load(io.BytesIO(before)) as zb, \
+                np.load(io.BytesIO(after)) as za:
+            assert not np.allclose(zb["output"], za["output"])
+            direct = WeatherPredictor(model, params1, buckets=(4,))(
+                *args[:4], weather_feature_mask=args[4])
+            np.testing.assert_allclose(za["output"], direct, atol=1e-5)
+    finally:
+        srv.shutdown()
+        batcher.close()
+        srv.server_close()
+        th.join(timeout=5)
+
+
+def test_http_reload_disabled_by_default(server):
+    conn = http.client.HTTPConnection("127.0.0.1", server.server_address[1],
+                                      timeout=10)
+    conn.request("POST", "/reload",
+                 body=json.dumps({"checkpoint": "x"}).encode())
+    resp = conn.getresponse()
+    assert resp.status == 403 and b"allow-reload" in resp.read()
+    conn.close()

@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-wait-ms", default=5.0, type=float,
                    help="micro-batching window: max extra latency a lone "
                         "request pays waiting to be coalesced")
+    p.add_argument("--allow-reload", action="store_true",
+                   help="daemon mode: enable POST /reload "
+                        '{"checkpoint": path} — hot-swap the served '
+                        "weights (same architecture, zero recompiles, "
+                        "no dropped traffic)")
     p.add_argument("--no-warmup", action="store_true",
                    help="daemon mode: skip pre-compiling every padding "
                         "bucket at startup (first hit per bucket then "
@@ -106,11 +111,19 @@ def run(args: argparse.Namespace) -> dict:
         from weathermodel_tpu.serving_daemon import serve_forever
 
         predictor = _make_predictor(args, args.seq_len)
+        reload_fn = None
+        if args.allow_reload:
+            from weathermodel_tpu.serve import reload_predictor_params
+
+            def reload_fn(path):
+                return reload_predictor_params(predictor, path)
+
         serve_forever(predictor, args.host, args.port,
                       max_batch=args.batch_size,
                       max_wait_ms=args.max_wait_ms,
                       do_warmup=not args.no_warmup,
-                      seq_len=args.seq_len)
+                      seq_len=args.seq_len,
+                      reload_fn=reload_fn, checkpoint=args.checkpoint)
         return {"daemon": True}
     if not args.input or not args.output:
         raise SystemExit("--input and --output are required "

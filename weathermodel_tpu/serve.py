@@ -37,6 +37,34 @@ class WeatherPredictor:
             )
         )
 
+    def swap_params(self, new_params) -> int:
+        """Atomically replace the served parameters (checkpoint
+        hot-reload). The jitted programs take params as an ARGUMENT, so a
+        swap costs ZERO recompiles; tree/shape/dtype mismatches are
+        rejected before anything is touched. In-flight batches finish on
+        whichever tree they already read — both are complete and
+        consistent. Returns the new parameter count."""
+        old_struct = jax.tree_util.tree_structure(self.params)
+        new_struct = jax.tree_util.tree_structure(new_params)
+        if old_struct != new_struct:
+            raise ValueError(
+                "checkpoint parameter tree does not match the serving "
+                "model (wrong --model/--model-size/--moe-experts?)")
+        old_leaves = jax.tree_util.tree_leaves_with_path(self.params)
+        new_leaves = jax.tree_util.tree_leaves(new_params)
+        bad = [f"{jax.tree_util.keystr(path)}: {tuple(o.shape)}/{o.dtype} "
+               f"!= {tuple(np.shape(n))}/{np.asarray(n).dtype}"
+               for (path, o), n in zip(old_leaves, new_leaves)
+               if tuple(o.shape) != tuple(np.shape(n))
+               or o.dtype != np.asarray(n).dtype]
+        if bad:
+            raise ValueError("checkpoint leaf mismatch vs serving model: "
+                             + "; ".join(bad[:5]))
+        staged = jax.device_put(new_params)
+        jax.block_until_ready(staged)   # fully resident before the swap
+        self.params = staged
+        return sum(int(np.prod(o.shape)) for o in new_leaves)
+
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
@@ -122,3 +150,30 @@ def load_weather_predictor(
         )
     params = jax.tree.map(jnp.asarray, params)
     return WeatherPredictor(model, params, buckets)
+
+
+def reload_predictor_params(predictor: WeatherPredictor,
+                            checkpoint_path: str) -> int:
+    """Hot-reload a predictor from a new checkpoint (orbax params dir or
+    reference torch .pth) WITHOUT recompiling or dropping traffic — the
+    deploy-new-weights primitive behind the daemon's POST /reload.
+
+    The checkpoint must match the serving model's architecture (tree/
+    shapes validated by `swap_params`; MoE-ness validated here with the
+    same error as `load_weather_predictor`). Returns the param count."""
+    from weathermodel_tpu.cli.pretrain import load_pretrained_params
+    from weathermodel_tpu.models.transfer import has_moe_layers
+
+    cfg = getattr(predictor.model, "cfg", None)
+    if cfg is None:
+        raise ValueError("predictor.model has no cfg; cannot reload")
+    params = load_pretrained_params(checkpoint_path, cfg.num_layers)
+    if has_moe_layers(params) != (cfg.num_experts > 0):
+        raise ValueError(
+            f"checkpoint {checkpoint_path} "
+            f"{'contains' if has_moe_layers(params) else 'lacks'} MoE "
+            f"expert params but the serving model was built with "
+            f"num_experts={cfg.num_experts}")
+    n = predictor.swap_params(jax.tree.map(jnp.asarray, params))
+    logger.info("hot-reloaded %d params from %s", n, checkpoint_path)
+    return n

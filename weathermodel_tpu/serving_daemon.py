@@ -27,8 +27,16 @@ Protocol (stdlib-only, works with `requests` or `curl --data-binary`):
                   — same schema as `wm-serve --input`).
                   response = .npz bytes: `output` [N,T,F] (deterministic
                   encoders) or `mu`/`var` (variational heads).
+  POST /reload    body = JSON {"checkpoint": "<orbax dir | .pth>"}:
+                  hot-swap the served weights with ZERO recompiles and no
+                  dropped traffic (params are a jit argument — serve.py
+                  `swap_params`; in-flight batches finish on the tree they
+                  already read). Same-architecture checkpoints only
+                  (tree/shape/MoE mismatches → 400). Gated behind
+                  `wm-serve --allow-reload` (403 otherwise).
   GET  /healthz   {"ok": true}
-  GET  /stats     JSON counters + latency percentiles (ms)
+  GET  /stats     JSON counters + latency percentiles (ms) + the current
+                  checkpoint path and reload count
 
 Start via `wm-serve --daemon --port 8476 --checkpoint ... --model ...`.
 """
@@ -222,11 +230,32 @@ def _encode_response_npz(out) -> bytes:
 
 def make_server(predictor, host: str = "127.0.0.1", port: int = 8476,
                 max_batch: int = 512, max_wait_ms: float = 5.0,
-                max_body_mb: float = 512.0):
+                max_body_mb: float = 512.0, reload_fn=None,
+                checkpoint: Optional[str] = None):
     """Build (ThreadingHTTPServer, MicroBatcher); caller runs
-    serve_forever() (or serve_forever in a thread for tests)."""
+    serve_forever() (or serve_forever in a thread for tests).
+
+    `reload_fn(checkpoint_path) -> n_params` enables POST /reload
+    (hot weight swap); None keeps the route disabled (403).
+    `checkpoint` labels the initially served weights in /stats."""
     batcher = MicroBatcher(predictor, max_batch=max_batch,
                            max_wait_ms=max_wait_ms)
+    reload_state = {"checkpoint": checkpoint, "n_reloads": 0}
+    reload_lock = threading.Lock()
+
+    def _do_reload(body: bytes) -> dict:
+        try:
+            req = json.loads(body.decode())
+            path = req["checkpoint"]
+        except (ValueError, KeyError, UnicodeDecodeError):
+            raise ValueError(
+                'body must be JSON {"checkpoint": "<path>"}') from None
+        with reload_lock:   # serialize concurrent reloads; last one wins
+            n = reload_fn(path)
+            reload_state["checkpoint"] = path
+            reload_state["n_reloads"] += 1
+        logger.info("reloaded %d params from %s", n, path)
+        return {"ok": True, "checkpoint": path, "n_params": n}
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, body: bytes, ctype: str):
@@ -243,11 +272,25 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8476,
             if self.path == "/healthz":
                 self._send_json(200, {"ok": True})
             elif self.path == "/stats":
-                self._send_json(200, batcher.stats())
+                self._send_json(200, {**batcher.stats(), **reload_state})
             else:
                 self._send_json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
+            if self.path == "/reload":
+                if reload_fn is None:
+                    self._send_json(403, {
+                        "error": "reload disabled; start wm-serve with "
+                                 "--allow-reload"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    result = _do_reload(self.rfile.read(length))
+                except Exception as e:
+                    self._send_json(400, {"error": str(e)})
+                    return
+                self._send_json(200, result)
+                return
             if self.path != "/predict":
                 self._send_json(404, {"error": f"no route {self.path}"})
                 return
@@ -298,14 +341,16 @@ def warmup(predictor, seq_len: int, weather_dim: int):
 
 def serve_forever(predictor, host: str, port: int, max_batch: int,
                   max_wait_ms: float, do_warmup: bool = True,
-                  seq_len: int = 365, weather_dim: Optional[int] = None):
+                  seq_len: int = 365, weather_dim: Optional[int] = None,
+                  reload_fn=None, checkpoint: Optional[str] = None):
     if weather_dim is None:
         cfg = getattr(predictor.model, "cfg", None)
         weather_dim = cfg.weather_dim if cfg is not None else 31
     if do_warmup:
         warmup(predictor, seq_len, weather_dim)
     server, batcher = make_server(predictor, host, port, max_batch,
-                                  max_wait_ms)
+                                  max_wait_ms, reload_fn=reload_fn,
+                                  checkpoint=checkpoint)
     logger.info("serving on http://%s:%d (micro-batch <= %d rows, "
                 "wait <= %.1f ms) — POST /predict, GET /healthz /stats",
                 host, server.server_address[1], max_batch, max_wait_ms)
