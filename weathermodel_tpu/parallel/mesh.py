@@ -49,9 +49,34 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch):
     """Device-put a pytree of host arrays with the batch axis sharded over
     'data' (the HBM-resident sharded-batch path; replaces the reference's
-    per-rank chunk partitioning + torch.load(map_location=cuda))."""
+    per-rank chunk partitioning + torch.load(map_location=cuda)).
+
+    Single-process: every host array is the full global batch. Multi-
+    process (pod): each host loads only ITS rows (split_chunk_ids gives
+    per-host data — multihost.py), so the global array is assembled from
+    the process-local shards; the global batch size is the per-host rows
+    times the process count. Validated by a real two-process
+    jax.distributed run in tests/test_multiprocess.py."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def host_replicate(mesh: Mesh, tree):
+    """Place identical host data replicated over the mesh — works in both
+    single-process runs (plain device_put) and multi-process pods (every
+    host holds the full array; the global jax.Array is assembled from the
+    per-process copies). Used for params/optimizer state built identically
+    on every host from the same PRNG chain."""
+    rep = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                rep, np.asarray(x)), tree)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
 
 
 def prefetch_to_device(mesh: Mesh, iterator, size: int = 2):

@@ -47,8 +47,13 @@ def initialize(coordinator_address: str = None) -> HostInfo:
 
     coordinator = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
-    on_pod = coordinator is not None or os.environ.get(
-        "TPU_WORKER_HOSTNAMES") is not None
+    # TPU_WORKER_HOSTNAMES lists every worker comma-separated; a single
+    # name means a single-host TPU VM (the axon tunnel exports
+    # "localhost"), where distributed init is unnecessary — and crashes
+    # autodetection for lack of a coordinator.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    on_pod = coordinator is not None or len(
+        [h for h in hostnames.split(",") if h]) > 1
     if on_pod:
         if coordinator:
             n = os.environ.get("JAX_NUM_PROCESSES")
