@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                         " slower — see BASELINE.md; kept for A/B)")
     p.add_argument("--batch-size", default=256, type=int,
                    help="max padding bucket (see serve.DEFAULT_BUCKETS)")
+    p.add_argument("--tensor-parallel", default=1, type=int,
+                   help="shard serving over a device mesh: params "
+                        "tensor-parallel over 'model' (Megatron rules), "
+                        "request batches data-parallel over the remaining "
+                        "devices; 1 (default) serves on a single device")
     p.add_argument("--moe-experts", default=0, type=int,
                    help="must match the checkpoint's --moe-experts")
     p.add_argument("--moe-top-k", default=2, type=int)
@@ -93,9 +98,18 @@ def _make_predictor(args: argparse.Namespace, t: int):
     from weathermodel_tpu.ops.attention import resolve_attention_impl
     from weathermodel_tpu.serve import DEFAULT_BUCKETS, load_weather_predictor
 
+    mesh = None
+    if args.tensor_parallel > 1:
+        from weathermodel_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_model=args.tensor_parallel)
     # cap the padding buckets at --batch-size (memory-constrained chips)
     buckets = tuple(b for b in DEFAULT_BUCKETS if b < args.batch_size)
     buckets = buckets + (args.batch_size,)
+    if mesh is not None:  # buckets must split over the 'data' axis
+        n_data = mesh.shape["data"]
+        buckets = tuple(sorted({max(n_data, b - b % n_data)
+                                for b in buckets}))
     return load_weather_predictor(
         args.checkpoint, model_size=args.model_size, model_name=args.model,
         attention_impl=resolve_attention_impl(
@@ -103,6 +117,7 @@ def _make_predictor(args: argparse.Namespace, t: int):
         max_len=t, buckets=buckets,
         num_experts=args.moe_experts, moe_top_k=args.moe_top_k,
         quantize=args.quantize, compute_dtype=args.compute_dtype,
+        mesh=mesh,
     )
 
 

@@ -24,11 +24,33 @@ DEFAULT_BUCKETS = (8, 32, 128, 512)
 
 
 class WeatherPredictor:
-    """Deterministic (eval-mode) batched forward with batch bucketing."""
+    """Deterministic (eval-mode) batched forward with batch bucketing.
 
-    def __init__(self, model, params, buckets: Sequence[int] = DEFAULT_BUCKETS):
+    `mesh`: shard serving over a device mesh — params tensor-parallel
+    over 'model' (Megatron rules, parallel/mesh.py) and request batches
+    over 'data'; XLA inserts the collectives. None (default) serves on
+    one device. Bucket sizes must divide by the mesh 'data' size."""
+
+    def __init__(self, model, params, buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 mesh=None):
         self.model = model
-        self.params = jax.device_put(params)
+        self.mesh = mesh
+        if mesh is not None:
+            from weathermodel_tpu.parallel.mesh import (
+                batch_sharding,
+                shard_params,
+            )
+
+            for b in buckets:
+                if b % mesh.shape["data"] != 0:
+                    raise ValueError(
+                        f"bucket {b} not divisible by the mesh 'data' "
+                        f"size {mesh.shape['data']}")
+            self.params = shard_params(params, mesh)
+            self._batch_sharding = batch_sharding(mesh)
+        else:
+            self.params = jax.device_put(params)
+            self._batch_sharding = None
         self.buckets = tuple(sorted(buckets))
         self._apply = jax.jit(
             lambda p, w, c, y, i, m: model.apply(
@@ -60,7 +82,10 @@ class WeatherPredictor:
         if bad:
             raise ValueError("checkpoint leaf mismatch vs serving model: "
                              + "; ".join(bad[:5]))
-        staged = jax.device_put(new_params)
+        # preserve each leaf's existing placement (incl. mesh shardings)
+        staged = jax.tree.map(
+            lambda old, new: jax.device_put(new, old.sharding),
+            self.params, new_params)
         jax.block_until_ready(staged)   # fully resident before the swap
         self.params = staged
         return sum(int(np.prod(o.shape)) for o in new_leaves)
@@ -93,12 +118,17 @@ class WeatherPredictor:
             x = np.asarray(x)
             return np.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
 
+        def place(x):
+            if self._batch_sharding is not None:
+                return jax.device_put(x, self._batch_sharding)
+            return jnp.asarray(x)
+
         out = self._apply(
-            self.params, jnp.asarray(padded(weather)),
-            jnp.asarray(padded(np.asarray(coords, np.float32))),
-            jnp.asarray(padded(np.asarray(year, np.float32))),
-            jnp.asarray(padded(np.asarray(interval, np.float32))),
-            jnp.asarray(padded(weather_feature_mask)),
+            self.params, place(padded(weather)),
+            place(padded(np.asarray(coords, np.float32))),
+            place(padded(np.asarray(year, np.float32))),
+            place(padded(np.asarray(interval, np.float32))),
+            place(padded(weather_feature_mask)),
         )
         if isinstance(out, tuple):
             return tuple(np.asarray(o)[:n] for o in out)
@@ -116,6 +146,7 @@ def load_weather_predictor(
     moe_top_k: int = 2,
     quantize: str = "none",
     compute_dtype: str = "bfloat16",
+    mesh=None,
 ) -> WeatherPredictor:
     """num_experts must match the checkpoint's training config (MoE
     checkpoints carry expert_* params; a mismatch raises here).
@@ -126,7 +157,10 @@ def load_weather_predictor(
 
     compute_dtype defaults to bfloat16 (the MXU-rate serving path, the
     dtype every BASELINE.md eval number is measured in); pass "float32"
-    for exact-parity serving (params are float32 either way)."""
+    for exact-parity serving (params are float32 either way).
+
+    mesh: serve sharded over a device mesh (params TP over 'model',
+    batches DP over 'data' — see WeatherPredictor); None = one device."""
     from weathermodel_tpu.cli.pretrain import load_pretrained_params, make_model
     from weathermodel_tpu.models.transfer import has_moe_layers
 
@@ -149,7 +183,7 @@ def load_weather_predictor(
             "training config"
         )
     params = jax.tree.map(jnp.asarray, params)
-    return WeatherPredictor(model, params, buckets)
+    return WeatherPredictor(model, params, buckets, mesh=mesh)
 
 
 def reload_predictor_params(predictor: WeatherPredictor,
