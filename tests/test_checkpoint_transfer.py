@@ -41,6 +41,56 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_async_save_snapshots_state_at_save_time(tmp_path):
+    """wait=False saves overlap the next epoch's compute: the trainer keeps
+    training (and donating/mutating the live state buffers) while orbax
+    writes in the background. The checkpoint must capture the state AS OF
+    the save() call — orbax snapshots to host before returning."""
+    model = WeatherBERT(CFG)
+    params = model.init(jax.random.PRNGKey(0), *_dummy())
+    state = create_train_state(params)
+    saved_copy = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    ck = Checkpointer(str(tmp_path))
+    ck.save(1, state, best_val_loss=0.7, output_json={}, wait=False)
+    ck.save_best_params(state.params, wait=False)
+    # mutate the live state immediately, as the next train step's donation
+    # would — jit(x * 0 - 5) with donated input reuses the buffers
+    donate = jax.jit(lambda t: jax.tree.map(lambda x: x * 0 - 5, t),
+                     donate_argnums=0)
+    state = state.replace(params=donate(state.params))
+    jax.block_until_ready(state.params)
+    ck.wait_until_finished()
+    restored, epoch, best, _, _ = ck.restore(create_train_state(params))
+    assert epoch == 1 and best == 0.7
+    for a, b in zip(jax.tree.leaves(saved_copy),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    best_loaded = ck.load_params(params)
+    for a, b in zip(jax.tree.leaves(saved_copy),
+                    jax.tree.leaves(best_loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_save_then_resave_same_epoch(tmp_path):
+    """A preemption save can land on the same step as an in-flight async
+    boundary save — save() must settle the previous write before the
+    delete/overwrite, and the newer state must win."""
+    model = WeatherBERT(CFG)
+    params = model.init(jax.random.PRNGKey(0), *_dummy())
+    state = create_train_state(params)
+    ck = Checkpointer(str(tmp_path))
+    ck.save(2, state, best_val_loss=0.9, output_json={}, wait=False)
+    bumped = state.replace(
+        params=jax.tree.map(lambda x: x + 1, state.params))
+    ck.save(2, bumped, best_val_loss=0.4, output_json={},
+            mid_epoch={"batch_idx": 3, "sums": {}})
+    restored, epoch, best, _, mid = ck.restore(state)
+    assert epoch == 2 and best == 0.4 and mid == {"batch_idx": 3, "sums": {}}
+    for a, b in zip(jax.tree.leaves(bumped.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_best_params_roundtrip(tmp_path):
     model = WeatherBERT(CFG)
     params = model.init(jax.random.PRNGKey(0), *_dummy())

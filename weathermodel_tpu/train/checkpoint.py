@@ -31,14 +31,23 @@ class Checkpointer:
         self._best_ckptr = ocp.StandardCheckpointer()
 
     def save(self, epoch: int, state: TrainState, best_val_loss: float,
-             output_json: dict, mid_epoch: Optional[dict] = None) -> None:
+             output_json: dict, mid_epoch: Optional[dict] = None,
+             wait: bool = True) -> None:
         """Save full training state at `epoch`.
 
         `mid_epoch` marks a PREEMPTION checkpoint taken inside epoch
         `epoch` (SIGTERM-graceful stop, trainer._run_epoch): it records
         {"batch_idx": completed steps, "sums": running loss sums} so resume
         can fast-forward the deterministic loader/key chain and continue
-        the epoch exactly where it stopped."""
+        the epoch exactly where it stopped.
+
+        `wait=False` returns once the state is snapshotted to host memory
+        and lets orbax write the files in the background — the next
+        epoch's compute overlaps the disk write (the device buffers may be
+        donated/mutated immediately; orbax copies before save() returns).
+        Preemption saves must keep wait=True: the process exits next."""
+        # settle any in-flight async save before delete/save below
+        self.manager.wait_until_finished()
         meta = {"epoch": epoch, "best_val_loss": float(best_val_loss)}
         if mid_epoch is not None:
             meta["mid_epoch"] = mid_epoch
@@ -55,14 +64,23 @@ class Checkpointer:
                 output_json=ocp.args.JsonSave(output_json),
             ),
         )
+        if wait:
+            self.manager.wait_until_finished()
+
+    def wait_until_finished(self) -> None:
+        """Block until every async save (full-state and best-params) has
+        committed to disk. Call before process exit / reading the files."""
         self.manager.wait_until_finished()
+        self._best_ckptr.wait_until_finished()
 
     def latest_epoch(self) -> Optional[int]:
+        self.manager.wait_until_finished()
         return self.manager.latest_step()
 
     def restore(self, state_template: TrainState,
                 epoch: Optional[int] = None
                 ) -> Tuple[TrainState, int, float, dict, Optional[dict]]:
+        self.manager.wait_until_finished()
         epoch = epoch if epoch is not None else self.manager.latest_step()
         restored = self.manager.restore(
             epoch,
@@ -76,18 +94,22 @@ class Checkpointer:
         return (restored["state"], meta["epoch"], meta["best_val_loss"],
                 restored["output_json"], meta.get("mid_epoch"))
 
-    def save_best_params(self, params: Any) -> None:
+    def save_best_params(self, params: Any, wait: bool = True) -> None:
+        # settle any in-flight best save before rmtree'ing its target
+        self._best_ckptr.wait_until_finished()
         path = os.path.join(self.workdir, "best")
         if os.path.exists(path):
             import shutil
 
             shutil.rmtree(path)
         self._best_ckptr.save(path, params)
-        self._best_ckptr.wait_until_finished()
+        if wait:
+            self._best_ckptr.wait_until_finished()
 
     def load_params(self, params_template: Any,
                     path: Optional[str] = None) -> Any:
         """Load a params-only tree (for pretrained-init transfer)."""
+        self._best_ckptr.wait_until_finished()
         path = path or os.path.join(self.workdir, "best")
         return self._best_ckptr.restore(path, target=params_template)
 

@@ -401,6 +401,9 @@ class PretrainTrainer:
         try:
             return self._train_loop()
         finally:
+            # settle async boundary/best saves before control returns to
+            # the caller (who may immediately read or transfer the files)
+            self.checkpointer.wait_until_finished()
             for sig, h in old_handlers.items():
                 signal.signal(sig, h)
 
@@ -455,12 +458,16 @@ class PretrainTrainer:
             )
             if val_losses["total_loss"] < self.best_val_loss:
                 self.best_val_loss = val_losses["total_loss"]
-                self.checkpointer.save_best_params(self.state.params)
+                # async: the file write overlaps the next epoch (orbax
+                # snapshots to host before returning; train() waits on exit)
+                self.checkpointer.save_best_params(self.state.params,
+                                                   wait=False)
             # reference cadence: epochs % 5 == 1 or final (base_trainer.py:110)
             saved = False
             if epoch % cfg.checkpoint_every == 1 or epoch == cfg.num_epochs - 1:
                 self.checkpointer.save(
-                    epoch, self.state, self.best_val_loss, self.output_json
+                    epoch, self.state, self.best_val_loss, self.output_json,
+                    wait=False,
                 )
                 saved = True
             write_output_json(self.workdir, self.model_name, self.output_json)
