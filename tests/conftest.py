@@ -35,3 +35,18 @@ pallas_attention.set_interpret(True)
 pallas_dropout.set_interpret(True)
 pallas_ffn.set_interpret(True)
 pallas_ffn2.set_interpret(True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _restore_global_jax_prng_impl():
+    """CLI mains legitimately set process-global jax config (e.g.
+    `--prng rbg` -> jax_default_prng_impl); tests that call them
+    in-process must not leak that into later tests — PRNGKey draws would
+    silently change (this bit test_multiprocess once: an earlier
+    yield-CLI test left rbg set and the reference trajectory diverged)."""
+    before = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != before:
+        jax.config.update("jax_default_prng_impl", before)

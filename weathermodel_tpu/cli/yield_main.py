@@ -246,18 +246,20 @@ def main(argv=None):
         format="%(asctime)s - %(levelname)s - %(message)s",
     )
     args = build_parser().parse_args(argv)
-    import jax
-
-    jax.config.update("jax_default_prng_impl", args.prng)
-    from weathermodel_tpu.utils.compilation_cache import enable_from_args
-
-    enable_from_args(args)
+    # validate BEFORE touching process-global jax config: a bad flag must
+    # not leave the PRNG default flipped for an in-process caller
     args.model = MODEL_ALIASES.get(args.model, args.model)
     if args.model not in YIELD_MODELS:
         raise ValueError(
             f"Unknown model type: {args.model}. Choose one of "
             + ", ".join(YIELD_MODELS)
         )
+    import jax
+
+    jax.config.update("jax_default_prng_impl", args.prng)
+    from weathermodel_tpu.utils.compilation_cache import enable_from_args
+
+    enable_from_args(args)
     return run(args)
 
 
