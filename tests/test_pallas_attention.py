@@ -147,6 +147,7 @@ def test_o_residual_backward_matches_default():
     produce the same gradients as the default rowsum(dw*w) form."""
     from weathermodel_tpu.ops import pallas_attention as pa
 
+    prev_interpret = pa._INTERPRET
     pa.set_interpret(True)
     rng = np.random.default_rng(11)
     q = jnp.asarray(rng.normal(size=(2, 20, 24)), jnp.float32)
@@ -164,7 +165,7 @@ def test_o_residual_backward_matches_default():
         g1 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     finally:
         pa._USE_O_RESIDUAL = False
-        pa.set_interpret(False)
+        pa.set_interpret(prev_interpret)  # don't clobber conftest's default
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)

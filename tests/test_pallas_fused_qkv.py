@@ -16,9 +16,10 @@ from weathermodel_tpu.ops.attention import multi_head_attention
 
 @pytest.fixture(autouse=True)
 def _interpret():
+    prev = pa._INTERPRET
     pa.set_interpret(True)
     yield
-    pa.set_interpret(False)
+    pa.set_interpret(prev)  # don't clobber conftest's default
 
 
 def _inputs(b=3, t=13, h=24, seed=0, dtype=jnp.float32):
