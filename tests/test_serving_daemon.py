@@ -367,3 +367,47 @@ def test_http_reload_disabled_by_default(server):
     resp = conn.getresponse()
     assert resp.status == 403 and b"allow-reload" in resp.read()
     conn.close()
+
+
+def test_shutdown_drains_inflight_requests(predictor):
+    """A graceful shutdown (SIGTERM -> server.shutdown -> server_close)
+    must answer every ACCEPTED request before teardown returns: handler
+    threads are joined by server_close (block_on_close, non-daemonic),
+    so by the time close finishes the slow in-flight response has been
+    fully written to the client."""
+    release = threading.Event()
+
+    def slow_predictor(w, c, y, i, weather_feature_mask=None):
+        release.wait(timeout=10)
+        return predictor(w, c, y, i,
+                         weather_feature_mask=weather_feature_mask)
+
+    srv, batcher = make_server(slow_predictor, host="127.0.0.1", port=0,
+                               max_batch=16, max_wait_ms=1.0)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+
+    done = threading.Event()
+    result = {}
+
+    def client():
+        w, c, y, i, m = _arrays(2, seed=3)
+        result["status"], result["data"] = _post_npz(
+            port, weather=w, coords=c, year=y, interval=i, mask=m)
+        done.set()
+
+    ct = threading.Thread(target=client, daemon=True)
+    ct.start()
+    time.sleep(0.3)           # request accepted, blocked in the predictor
+    assert not done.is_set()
+    shut = threading.Thread(target=srv.shutdown, daemon=True)
+    shut.start()              # stop accepting (what the SIGTERM hook does)
+    release.set()             # predictor finishes during the drain
+    srv.server_close()        # must JOIN the in-flight handler
+    assert done.wait(timeout=1), "response not completed by server_close"
+    assert result["status"] == 200
+    with np.load(io.BytesIO(result["data"])) as z:
+        assert z["output"].shape == (2, T, F)
+    batcher.close()
+    th.join(timeout=5)

@@ -316,7 +316,16 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8476,
         def log_message(self, fmt, *args):  # route through logging, quiet
             logger.debug("%s - %s", self.address_string(), fmt % args)
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    class _DrainingServer(ThreadingHTTPServer):
+        # join in-flight handler threads on server_close(): a shutdown
+        # must answer every accepted request before the process exits
+        # (stock ThreadingHTTPServer marks handlers daemonic and drops
+        # them). Handlers can't hang: every submitted _Pending gets its
+        # event set by the worker, success or error.
+        daemon_threads = False
+        block_on_close = True
+
+    server = _DrainingServer((host, port), Handler)
     server.batcher = batcher  # for tests / shutdown
     return server, batcher
 
@@ -354,10 +363,29 @@ def serve_forever(predictor, host: str, port: int, max_batch: int,
     logger.info("serving on http://%s:%d (micro-batch <= %d rows, "
                 "wait <= %.1f ms) — POST /predict, GET /healthz /stats",
                 host, server.server_address[1], max_batch, max_wait_ms)
+    # SIGTERM-graceful, matching the trainer's preemption story: the
+    # scheduler's grace notice stops the accept loop, in-flight requests
+    # drain (server_close joins handler threads), then the batcher exits.
+    old_handlers = {}
+    if threading.current_thread() is threading.main_thread():
+        import signal
+
+        def _graceful(sig, frame):
+            logger.info("signal %d: draining in-flight requests", sig)
+            threading.Thread(target=server.shutdown, daemon=True).start()
+
+        for s in (signal.SIGTERM, signal.SIGINT):
+            old_handlers[s] = signal.signal(s, _graceful)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         logger.info("shutting down")
     finally:
-        batcher.close()
-        server.server_close()
+        server.server_close()   # joins in-flight handlers (block_on_close)
+        batcher.close()         # worker drains anything still queued
+        if old_handlers:
+            import signal
+
+            for s, h in old_handlers.items():
+                signal.signal(s, h)
+        logger.info("shutdown complete: all accepted requests answered")
