@@ -134,6 +134,11 @@ class SummaryTransformerEncoder(nn.Module):
                  deterministic: bool = True):
         h = self.num_heads * self.hidden_dim_factor
         b, t, _ = x.shape
+        if t > self.max_len:
+            raise ValueError(
+                f"sequence length {t} exceeds max_len={self.max_len}; "
+                f"construct SummaryTransformerEncoder with max_len>={t}"
+            )
         x = torch_dense(h, self.input_dim, name="embedding")(x)
         pe = sinusoidal_positional_encoding(self.max_len, h)
         x = x + jnp.asarray(pe[:t])[None]
