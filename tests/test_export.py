@@ -110,3 +110,22 @@ def test_wm_export_cli_from_checkpoint(tmp_path, model_and_params):
     aot = ExportedPredictor(out)(*args)
     np.testing.assert_allclose(np.asarray(aot), np.asarray(live),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_moe_export_roundtrip(tmp_path):
+    """Export composes with MoE: the sort-routed expert dispatch
+    (data-dependent argsort + gathers) serializes and reproduces the
+    live forward."""
+    cfg = ModelConfig(num_heads=4, num_layers=1, hidden_dim_factor=12,
+                      max_len=T, dropout_rate=0.0, num_experts=4,
+                      moe_top_k=2)
+    model = WeatherBERT(cfg)
+    params = model.init(jax.random.PRNGKey(0), *_arrays(2))
+    path = str(tmp_path / "moe.wmx")
+    write_bundle(path, model, params, buckets=(4,), seq_len=T,
+                 platforms=("cpu",))
+    args = _arrays(4, seed=5)
+    out = ExportedPredictor(path)(*args)
+    live = np.asarray(model.apply(params, *map(np.asarray, args),
+                                  deterministic=True))
+    np.testing.assert_allclose(out, live, rtol=1e-6, atol=1e-6)
