@@ -86,6 +86,110 @@ def test_int8_ffn_refuses_training_dropout():
                       rngs={"dropout": jax.random.PRNGKey(1)})
 
 
+def test_int8_dense_static_close_to_fp_and_reduction_free():
+    from weathermodel_tpu.ops.quant import int8_dense_static
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(4, 32, 48)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(48, 64)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    amax = jnp.asarray(float(np.abs(np.asarray(x)).max()))
+    y = np.asarray(int8_dense_static(x, w, amax, b))
+    ref = np.asarray(x) @ np.asarray(w) + np.asarray(b)
+    assert np.abs(y - ref).mean() / np.abs(ref).mean() < 0.02
+
+    # the defining property vs dynamic int8: NO reduction over the
+    # activation tensor at serve time (only the small weight absmax)
+    jaxpr = jax.make_jaxpr(
+        lambda x_: int8_dense_static(x_, w, amax, b))(x)
+    act_reduces = [
+        e for e in jaxpr.jaxpr.eqns
+        if e.primitive.name.startswith("reduce")
+        and e.invars[0].aval.shape == x.shape
+    ]
+    assert not act_reduces, "static path reduced over the activations"
+
+    # out-of-range activations saturate instead of wrapping
+    x_hot = x.at[0, 0, 0].set(1e6)
+    y_hot = np.asarray(int8_dense_static(x_hot, w, amax, b))
+    assert np.isfinite(y_hot).all()
+
+
+def test_model_int8_static_calibrated_drift_budget():
+    from weathermodel_tpu.serve import calibrate_quant_scales
+    from weathermodel_tpu.utils.config import model_config_for_size
+
+    model_fp, _, batch = _mini_model_and_batch("xla")
+    model_q, _, _ = _mini_model_and_batch("int8_static")
+    cfg = model_config_for_size("mini", max_len=52)
+    params = model_fp.init(jax.random.PRNGKey(0), *batch)
+    quant = calibrate_quant_scales("weatherbert", cfg, params, [batch])
+    # every calibrated absmax is a positive finite scalar
+    for leaf in jax.tree.leaves(quant):
+        assert leaf.shape == () and float(leaf) > 0.0
+    out_fp = np.asarray(model_fp.apply(params, *batch, deterministic=True))
+    out_q = np.asarray(model_q.apply(
+        {"params": params["params"], "quant": quant}, *batch,
+        deterministic=True))
+    rel = np.abs(out_q - out_fp).mean() / np.abs(out_fp).mean()
+    assert rel < 0.05, f"int8_static drift {rel:.4f} exceeds budget"
+    assert not np.allclose(out_q, out_fp), "int8_static path inactive"
+
+
+def test_calibration_aggregates_max_across_batches():
+    from weathermodel_tpu.serve import calibrate_quant_scales
+    from weathermodel_tpu.utils.config import model_config_for_size
+
+    model_fp, _, batch = _mini_model_and_batch("xla")
+    cfg = model_config_for_size("mini", max_len=52)
+    params = model_fp.init(jax.random.PRNGKey(0), *batch)
+    small = (batch[0] * 0.1,) + batch[1:]
+    big = (batch[0] * 3.0,) + batch[1:]
+    q_small = calibrate_quant_scales("weatherbert", cfg, params, [small])
+    q_both = calibrate_quant_scales("weatherbert", cfg, params,
+                                    [small, big])
+    q_flip = calibrate_quant_scales("weatherbert", cfg, params,
+                                    [big, small])
+    for a, b_, c in zip(jax.tree.leaves(q_small), jax.tree.leaves(q_both),
+                        jax.tree.leaves(q_flip)):
+        assert float(b_) >= float(a)  # max aggregation, order-free
+        np.testing.assert_allclose(float(b_), float(c), rtol=1e-6)
+
+
+def test_serve_int8_static_flag(tmp_path):
+    import orbax.checkpoint as ocp
+
+    from weathermodel_tpu.serve import load_weather_predictor
+
+    model_fp, cfg, batch = _mini_model_and_batch("xla")
+    params = model_fp.init(jax.random.PRNGKey(0), *batch)
+    path = tmp_path / "best"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(path), params)
+    ckptr.wait_until_finished()
+
+    kw = dict(model_size="mini", model_name="weatherbert",
+              attention_impl="xla", max_len=52, buckets=(8,))
+    with pytest.raises(ValueError, match="calibration_batches"):
+        load_weather_predictor(str(path), quantize="int8_static", **kw)
+    np_batch = tuple(np.asarray(a) for a in batch)
+    pred_fp = load_weather_predictor(str(path), **kw)
+    pred_q = load_weather_predictor(str(path), quantize="int8_static",
+                                    calibration_batches=[np_batch], **kw)
+    out_fp = pred_fp(*np_batch)
+    out_q = pred_q(*np_batch)
+    rel = np.abs(out_q - out_fp).mean() / np.abs(out_fp).mean()
+    assert rel < 0.05
+
+    # hot-reload keeps the calibrated scales (checkpoints carry none)
+    from weathermodel_tpu.serve import reload_predictor_params
+
+    reload_predictor_params(pred_q, str(path))
+    assert "quant" in pred_q.params
+    out_q2 = pred_q(*np_batch)
+    np.testing.assert_allclose(out_q2, out_q, rtol=1e-5, atol=1e-5)
+
+
 def test_serve_quantize_flag_smoke(tmp_path):
     """load_weather_predictor(quantize='int8') serves a saved checkpoint
     and stays close to the fp predictor."""

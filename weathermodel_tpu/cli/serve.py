@@ -80,10 +80,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--moe-experts", default=0, type=int,
                    help="must match the checkpoint's --moe-experts")
     p.add_argument("--moe-top-k", default=2, type=int)
-    p.add_argument("--quantize", default="none", choices=("none", "int8"),
+    p.add_argument("--quantize", default="none",
+                   choices=("none", "int8", "int8_static"),
                    help="int8: dynamic W8A8 FFN matmuls (ops/quant.py) — "
                         "v5e int8 MXU runs 2x bf16 peak; accuracy drift "
-                        "measured in BASELINE.md")
+                        "measured in BASELINE.md. int8_static: calibrated "
+                        "per-tensor activation scales (no on-the-fly "
+                        "absmax; needs --calibrate-input)")
+    p.add_argument("--calibrate-input",
+                   help="int8_static: .npz of representative windows "
+                        "(same schema as --input) used to calibrate the "
+                        "static activation scales offline")
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=("bfloat16", "float32"),
                    help="bfloat16 = MXU-rate serving (default); float32 "
@@ -92,6 +99,23 @@ def build_parser() -> argparse.ArgumentParser:
 
     add_flag(p)
     return p
+
+
+def _load_windows_npz(path: str) -> tuple:
+    """(weather, coords, year, interval, mask) from a windows .npz —
+    missing side inputs are synthesized with the pretraining defaults."""
+    with np.load(path) as z:
+        weather = np.asarray(z["weather"], np.float32)
+        n, t, f = weather.shape
+        coords = (np.asarray(z["coords"], np.float32) if "coords" in z
+                  else np.zeros((n, 2), np.float32))
+        year = (np.asarray(z["year"], np.float32) if "year" in z
+                else np.full((n, t), 1990.0, np.float32))
+        interval = (np.asarray(z["interval"], np.float32)
+                    if "interval" in z else np.full((n, 1), 7.0, np.float32))
+        mask = (np.asarray(z["mask"], bool) if "mask" in z
+                else np.zeros((n, t, f), bool))
+    return weather, coords, year, interval, mask
 
 
 def _make_predictor(args: argparse.Namespace, t: int):
@@ -110,6 +134,18 @@ def _make_predictor(args: argparse.Namespace, t: int):
         n_data = mesh.shape["data"]
         buckets = tuple(sorted({max(n_data, b - b % n_data)
                                 for b in buckets}))
+    calibration_batches = None
+    if args.quantize == "int8_static":
+        if not args.calibrate_input:
+            raise SystemExit("--quantize int8_static requires "
+                             "--calibrate-input (representative windows "
+                             ".npz for offline scale calibration)")
+        calib = _load_windows_npz(args.calibrate_input)
+        if calib[0].shape[1] != t:
+            raise SystemExit(
+                f"--calibrate-input has T={calib[0].shape[1]} but the "
+                f"serving sequence length is {t}")
+        calibration_batches = [calib]
     return load_weather_predictor(
         args.checkpoint, model_size=args.model_size, model_name=args.model,
         attention_impl=resolve_attention_impl(
@@ -117,7 +153,7 @@ def _make_predictor(args: argparse.Namespace, t: int):
         max_len=t, buckets=buckets,
         num_experts=args.moe_experts, moe_top_k=args.moe_top_k,
         quantize=args.quantize, compute_dtype=args.compute_dtype,
-        mesh=mesh,
+        mesh=mesh, calibration_batches=calibration_batches,
     )
 
 
@@ -144,17 +180,8 @@ def run(args: argparse.Namespace) -> dict:
         raise SystemExit("--input and --output are required "
                          "(or pass --daemon)")
 
-    with np.load(args.input) as z:
-        weather = np.asarray(z["weather"], np.float32)
-        n, t, f = weather.shape
-        coords = (np.asarray(z["coords"], np.float32) if "coords" in z
-                  else np.zeros((n, 2), np.float32))
-        year = (np.asarray(z["year"], np.float32) if "year" in z
-                else np.full((n, t), 1990.0, np.float32))
-        interval = (np.asarray(z["interval"], np.float32) if "interval" in z
-                    else np.full((n, 1), 7.0, np.float32))
-        mask = (np.asarray(z["mask"], bool) if "mask" in z
-                else np.zeros((n, t, f), bool))
+    weather, coords, year, interval, mask = _load_windows_npz(args.input)
+    n, t, _ = weather.shape
 
     predictor = _make_predictor(args, t)
     outputs = predictor(weather, coords, year, interval,

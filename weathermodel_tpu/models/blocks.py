@@ -274,21 +274,32 @@ class TransformerEncoderLayer(nn.Module):
                 ln_s, ln_b, dropout_rate=drop, dropout_seed=seed,
             ).astype(self.dtype)
 
-        if self.ffn_impl == "int8":
-            # Serving-only dynamic W8A8 FFN (ops/quant.py): v5e int8 MXU
-            # peak is 2x bf16. Inference has no backward to protect, and
-            # dropout is off, so the only cost is the measured accuracy
-            # drift (BASELINE.md int8 table).
+        if self.ffn_impl in ("int8", "int8_static"):
+            # Serving-only W8A8 FFN (ops/quant.py): v5e int8 MXU peak is
+            # 2x bf16. Inference has no backward to protect, and dropout
+            # is off, so the only cost is the measured accuracy drift
+            # (BASELINE.md int8 table). "int8" = dynamic per-row
+            # activation scales (absmax computed on the fly — measured
+            # slower than bf16); "int8_static" = calibrated per-tensor
+            # activation scales read from the 'quant' variable collection
+            # (serve.calibrate_quant_scales builds it offline).
             if drop > 0.0:
                 raise ValueError(
-                    "ffn_impl='int8' is a serving/eval path; training "
-                    "with dropout active would differentiate through "
-                    "round() (zero gradient). Train in bf16/fp32 and "
-                    "quantize at serve time.")
-            from weathermodel_tpu.ops.quant import int8_dense
+                    f"ffn_impl={self.ffn_impl!r} is a serving/eval path; "
+                    "training with dropout active would differentiate "
+                    "through round() (zero gradient). Train in bf16/fp32 "
+                    "and quantize at serve time.")
+            from weathermodel_tpu.ops.quant import int8_dense, int8_dense_static
 
-            ff = nn.relu(int8_dense(x, w1, b1))
-            ff = int8_dense(ff, w2, b2)
+            if self.ffn_impl == "int8_static":
+                ones = lambda: jnp.ones((), jnp.float32)  # noqa: E731
+                a1 = self.variable("quant", "ffn_in_amax", ones).value
+                a2 = self.variable("quant", "ffn_hidden_amax", ones).value
+                ff = nn.relu(int8_dense_static(x, w1, a1, b1))
+                ff = int8_dense_static(ff, w2, a2, b2)
+            else:
+                ff = nn.relu(int8_dense(x, w1, b1))
+                ff = int8_dense(ff, w2, b2)
         elif self.ffn_impl == "pallas2":
             # fused FFN fwd kernel (both FFN dropout sites in-kernel),
             # XLA backward via activation-sparsity masks (ops/pallas_ffn2)
@@ -301,9 +312,24 @@ class TransformerEncoderLayer(nn.Module):
                 x.reshape(b * t, hd), w1.astype(self.dtype), b1,
                 w2.astype(self.dtype), b2, seed, drop,
             ).reshape(b, t, hd)
-        else:  # XLA-matmul path
+        else:  # XLA-matmul path (also "calibrate": float FFN + absmax sow)
+            if self.ffn_impl == "calibrate":
+                # int8_static calibration pass: record the absmax of each
+                # quantized matmul's input into 'quant_stats' (reduced
+                # with max across calls). serve.calibrate_quant_scales
+                # aggregates these over calibration batches into the
+                # 'quant' collection the int8_static branch reads.
+                self.sow("quant_stats", "ffn_in_amax",
+                         jnp.max(jnp.abs(x.astype(jnp.float32))),
+                         reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.zeros((), jnp.float32))
             ff = jnp.dot(x, w1.astype(self.dtype)) + b1.astype(self.dtype)
             ff = nn.relu(ff)
+            if self.ffn_impl == "calibrate":
+                self.sow("quant_stats", "ffn_hidden_amax",
+                         jnp.max(jnp.abs(ff.astype(jnp.float32))),
+                         reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.zeros((), jnp.float32))
             ff = _dropout(self, ff, self.dropout_rate, deterministic)
             ff = jnp.dot(ff, w2.astype(self.dtype)) + b2.astype(self.dtype)
             ff = _dropout(self, ff, self.dropout_rate, deterministic)

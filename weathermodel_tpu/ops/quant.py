@@ -37,6 +37,39 @@ def quantize_int8(x, axis):
     return q.astype(jnp.int8), scale
 
 
+def int8_dense_static(x, w, a_amax, b=None, out_dtype=None):
+    """y = x @ w (+ b) with a STATIC (calibrated) per-tensor activation
+    scale and per-channel weight scales.
+
+    The dynamic variant (`int8_dense`) measured SLOWER than bf16 on the
+    serving path because the on-the-fly activation absmax is a full
+    reduction over the [B, T, K] tensor that streams it through the VPU
+    and breaks XLA's relu->matmul fusion (BASELINE.md int8 table names
+    static scales as the missing piece). Here `a_amax` is a scalar
+    calibrated OFFLINE (serve.calibrate_quant_scales), so quantization is
+    one fused elementwise pass (scale+round+clip+cast) with no reduction;
+    activations beyond the calibrated range saturate at +-127 (standard
+    PTQ clipping).
+
+    x: [..., K] float, w: [K, O] float, a_amax: scalar f32 (absmax of x
+    observed during calibration). Returns [..., O] in `out_dtype`
+    (default x.dtype)."""
+    out_dtype = out_dtype or x.dtype
+    a_scale = jnp.maximum(a_amax, 1e-8).astype(jnp.float32) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale), -127, 127)
+    xq = xq.astype(jnp.int8)
+    wq, ws = quantize_int8(w, axis=0)           # [K, O] int8, [1, O]
+    acc = jax.lax.dot_general(
+        xq, wq,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                            # [..., O] int32
+    y = acc.astype(jnp.float32) * (a_scale * ws)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 def int8_dense(x, w, b=None, out_dtype=None):
     """y = x @ w (+ b) with dynamic per-row activation / per-channel
     weight int8 quantization. x: [..., K], w: [K, O] (float); returns

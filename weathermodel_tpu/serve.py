@@ -135,6 +135,47 @@ class WeatherPredictor:
         return np.asarray(out)[:n]
 
 
+def calibrate_quant_scales(model_name, cfg, params, batches,
+                           attention_impl: str = "xla"):
+    """Offline PTQ calibration for `ffn_impl="int8_static"`: run the
+    FLOAT model over representative batches and record, per encoder
+    layer, the absmax of each quantized matmul's input (the FFN input and
+    the post-relu hidden). Returns the 'quant' variable collection the
+    int8_static serving model reads (static per-tensor activation
+    scales — the piece BASELINE.md's dynamic-int8 negative result named
+    as missing).
+
+    `params`: the float variables dict (must contain 'params').
+    `batches`: iterable of (weather, coords, year, interval, mask)
+    tuples. Aggregation across batches is an elementwise max."""
+    from weathermodel_tpu.cli.pretrain import make_model
+
+    calib_model = make_model(model_name, cfg, attention_impl,
+                             ffn_impl="calibrate")
+
+    @jax.jit
+    def stats_fn(p, w, c, y, i, m):
+        _, mut = calib_model.apply(
+            {"params": p["params"]}, w, c, y, i, m, deterministic=True,
+            rngs={"sample": jax.random.PRNGKey(0)},
+            mutable=["quant_stats"])
+        return mut["quant_stats"]
+
+    agg = None
+    n = 0
+    for batch in batches:
+        stats = jax.device_get(stats_fn(params, *(jnp.asarray(a)
+                                                  for a in batch)))
+        agg = stats if agg is None else jax.tree.map(np.maximum, agg,
+                                                     stats)
+        n += np.asarray(batch[0]).shape[0]
+    if agg is None:
+        raise ValueError("calibration requires at least one batch")
+    logger.info("calibrated int8 activation scales over %d windows", n)
+    # quant_stats leaf names match the 'quant' variable names exactly
+    return jax.tree.map(jnp.asarray, agg)
+
+
 def load_weather_predictor(
     checkpoint_path: str,
     model_size: str = "small",
@@ -147,6 +188,7 @@ def load_weather_predictor(
     quantize: str = "none",
     compute_dtype: str = "bfloat16",
     mesh=None,
+    calibration_batches=None,
 ) -> WeatherPredictor:
     """num_experts must match the checkpoint's training config (MoE
     checkpoints carry expert_* params; a mismatch raises here).
@@ -164,15 +206,21 @@ def load_weather_predictor(
     from weathermodel_tpu.cli.pretrain import load_pretrained_params, make_model
     from weathermodel_tpu.models.transfer import has_moe_layers
 
-    if quantize not in ("none", "int8"):
-        raise ValueError(f"quantize must be 'none' or 'int8', got "
-                         f"{quantize!r}")
+    if quantize not in ("none", "int8", "int8_static"):
+        raise ValueError(f"quantize must be 'none', 'int8' or "
+                         f"'int8_static', got {quantize!r}")
+    if quantize == "int8_static" and calibration_batches is None:
+        raise ValueError(
+            "quantize='int8_static' needs calibration_batches — an "
+            "iterable of (weather, coords, year, interval, mask) tuples "
+            "of representative inputs (see serve.calibrate_quant_scales)")
     cfg = model_config_for_size(model_size, max_len=max_len,
                                 num_experts=num_experts,
                                 moe_top_k=moe_top_k,
                                 compute_dtype=compute_dtype)
-    model = make_model(model_name, cfg, attention_impl,
-                       ffn_impl="int8" if quantize == "int8" else "xla")
+    ffn_impl = {"int8": "int8", "int8_static": "int8_static"}.get(
+        quantize, "xla")
+    model = make_model(model_name, cfg, attention_impl, ffn_impl=ffn_impl)
     params = load_pretrained_params(checkpoint_path, cfg.num_layers)
     if has_moe_layers(params) != (num_experts > 0):
         raise ValueError(
@@ -183,6 +231,11 @@ def load_weather_predictor(
             "training config"
         )
     params = jax.tree.map(jnp.asarray, params)
+    if quantize == "int8_static":
+        params = dict(params)
+        params["quant"] = calibrate_quant_scales(
+            model_name, cfg, params, calibration_batches,
+            attention_impl=attention_impl)
     return WeatherPredictor(model, params, buckets, mesh=mesh)
 
 
@@ -208,6 +261,13 @@ def reload_predictor_params(predictor: WeatherPredictor,
             f"{'contains' if has_moe_layers(params) else 'lacks'} MoE "
             f"expert params but the serving model was built with "
             f"num_experts={cfg.num_experts}")
+    params = dict(params)
+    if "quant" in predictor.params and "quant" not in params:
+        # int8_static predictor: checkpoints carry no activation scales —
+        # keep the currently-served calibration (activation ranges drift
+        # far slower than weights across fine-tunes; re-create the
+        # predictor with fresh calibration_batches for exact PTQ).
+        params["quant"] = predictor.params["quant"]
     n = predictor.swap_params(jax.tree.map(jnp.asarray, params))
     logger.info("hot-reloaded %d params from %s", n, checkpoint_path)
     return n
