@@ -129,3 +129,58 @@ def test_moe_export_roundtrip(tmp_path):
     live = np.asarray(model.apply(params, *map(np.asarray, args),
                                   deterministic=True))
     np.testing.assert_allclose(out, live, rtol=1e-6, atol=1e-6)
+
+
+def test_int8_static_export_cli(tmp_path):
+    """wm-export --quantize int8_static freezes the calibrated W8A8 FFN
+    (pure XLA ops) into the bundle: the standalone predictor matches the
+    live quantized predictor and measurably differs from fp."""
+    import orbax.checkpoint as ocp
+
+    from weathermodel_tpu.cli.export import main
+    from weathermodel_tpu.cli.pretrain import make_model
+    from weathermodel_tpu.serve import load_weather_predictor
+    from weathermodel_tpu.utils.config import model_config_for_size
+
+    cfg = model_config_for_size("mini", max_len=T, compute_dtype="float32")
+    live_model = make_model("weatherbert", cfg, attention_impl="xla")
+    live_params = live_model.init(jax.random.PRNGKey(0), *_arrays(2))
+    ckpt = tmp_path / "best"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(ckpt), live_params)
+    ckptr.wait_until_finished()
+
+    calib = tmp_path / "calib.npz"
+    w, c, y, i, m = _arrays(8, seed=7)
+    np.savez(calib, weather=w * 1.5, coords=c, year=y, interval=i, mask=m)
+
+    out = str(tmp_path / "mini_q.wmx")
+    with pytest.raises(SystemExit, match="calibrate-input"):
+        main(["--checkpoint", str(ckpt), "--model-size", "mini",
+              "--output", out, "--seq-len", str(T), "--buckets", "4",
+              "--platforms", "cpu", "--compute-dtype", "float32",
+              "--quantize", "int8_static"])
+    manifest = main([
+        "--checkpoint", str(ckpt), "--model", "weatherbert",
+        "--model-size", "mini", "--output", out, "--seq-len", str(T),
+        "--buckets", "4", "--platforms", "cpu",
+        "--compute-dtype", "float32",
+        "--quantize", "int8_static", "--calibrate-input", str(calib),
+    ])
+    assert manifest["quantize"] == "int8_static"
+
+    args = _arrays(4, seed=8)
+    aot = np.asarray(ExportedPredictor(out)(*args))
+    live_q = load_weather_predictor(
+        str(ckpt), model_size="mini", attention_impl="xla", max_len=T,
+        buckets=(4,), compute_dtype="float32", quantize="int8_static",
+        calibration_batches=[(w * 1.5, c, y, i, m)])
+    live_fp = load_weather_predictor(
+        str(ckpt), model_size="mini", attention_impl="xla", max_len=T,
+        buckets=(4,), compute_dtype="float32")
+    q = np.asarray(live_q(*args))
+    fp = np.asarray(live_fp(*args))
+    np.testing.assert_allclose(aot, q, rtol=1e-5, atol=1e-5)
+    assert not np.allclose(q, fp), "quantized path inactive in the bundle"
+    rel = np.abs(aot - fp).mean() / np.abs(fp).mean()
+    assert rel < 0.05

@@ -39,6 +39,15 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("bfloat16", "float32"))
     p.add_argument("--moe-experts", default=0, type=int)
     p.add_argument("--moe-top-k", default=2, type=int)
+    p.add_argument("--quantize", default="none",
+                   choices=("none", "int8", "int8_static"),
+                   help="bake a W8A8 FFN into the artifact (ops/quant.py;"
+                        " pure XLA ops, lowers cross-platform). "
+                        "int8_static needs --calibrate-input")
+    p.add_argument("--calibrate-input",
+                   help="int8_static: .npz of representative windows used "
+                        "to calibrate the static activation scales, which "
+                        "are frozen into the bundle")
     from weathermodel_tpu.utils.compilation_cache import add_flag
 
     add_flag(p)
@@ -50,19 +59,35 @@ def run(args) -> dict:
     from weathermodel_tpu.serve import load_weather_predictor
 
     buckets = tuple(int(b) for b in args.buckets.split(","))
+    calibration_batches = None
+    if args.quantize == "int8_static":
+        if not args.calibrate_input:
+            raise SystemExit("--quantize int8_static requires "
+                             "--calibrate-input (representative windows "
+                             ".npz for offline scale calibration)")
+        from weathermodel_tpu.cli.serve import _load_windows_npz
+
+        calib = _load_windows_npz(args.calibrate_input)
+        if calib[0].shape[1] != args.seq_len:
+            raise SystemExit(
+                f"--calibrate-input has T={calib[0].shape[1]} but the "
+                f"export sequence length is {args.seq_len}")
+        calibration_batches = [calib]
     predictor = load_weather_predictor(
         args.checkpoint, model_size=args.model_size, model_name=args.model,
         attention_impl="xla",  # portable StableHLO only
         max_len=args.seq_len, buckets=buckets,
         num_experts=args.moe_experts, moe_top_k=args.moe_top_k,
-        compute_dtype=args.compute_dtype,
+        compute_dtype=args.compute_dtype, quantize=args.quantize,
+        calibration_batches=calibration_batches,
     )
     manifest = write_bundle(
         args.output, predictor.model, predictor.params, buckets,
         args.seq_len, platforms=tuple(args.platforms.split(",")),
         meta={"model": args.model, "model_size": args.model_size,
               "checkpoint": args.checkpoint,
-              "compute_dtype": args.compute_dtype},
+              "compute_dtype": args.compute_dtype,
+              "quantize": args.quantize},
     )
     import os
 
