@@ -134,6 +134,25 @@ def main():
         batch.weather[:2], batch.coords[:2], batch.year[:2],
         batch.interval[:2], np.zeros((2, t, f), dtype=bool),
     )
+    if ffn_impl == "int8_static":
+        # calibrated-PTQ serving path: build the 'quant' activation-scale
+        # collection offline from a slice of the bench distribution
+        # (serve.calibrate_quant_scales; measured +15% eval win over bf16
+        # at large B=288 — BASELINE.md static-int8 table)
+        if mode != "eval":
+            raise SystemExit("BENCH_FFN_IMPL=int8_static is a serving "
+                             "path; use BENCH_MODE=eval")
+        from weathermodel_tpu.serve import calibrate_quant_scales
+
+        n_cal = min(b, 32)
+        quant = calibrate_quant_scales(
+            "weatherformer" if objective == "elbo" else "weatherbert",
+            cfg, params,
+            [(batch.weather[:n_cal], batch.coords[:n_cal],
+              batch.year[:n_cal], batch.interval[:n_cal],
+              np.zeros((n_cal, t, f), dtype=bool))],
+            attention_impl=attention_impl)
+        params = {**params, "quant": quant}
     from weathermodel_tpu.parallel.mesh import replicated_sharding
 
     state = jax.device_put(create_train_state(params),
