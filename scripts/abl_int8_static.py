@@ -11,6 +11,7 @@ elementwise pass against scales calibrated offline
 Run: nohup python scripts/abl_int8_static.py > /tmp/abl_int8_static.log 2>&1 &
 """
 
+import os
 import time
 
 import jax
@@ -24,13 +25,19 @@ from weathermodel_tpu.serve import calibrate_quant_scales
 from weathermodel_tpu.train.steps import Batch, make_eval_step
 from weathermodel_tpu.utils.config import model_config_for_size
 
-B, T, F = 288, 365, 31
+# ABL_EXPERTS=8 ABL_BATCH=96 runs the MoE-flagship variant (per-expert
+# per-channel scales, both expert einsums W8A8; dynamic int8 is
+# unsupported for MoE so that column is skipped)
+EXPERTS = int(os.environ.get("ABL_EXPERTS", "0"))
+B = int(os.environ.get("ABL_BATCH", "288"))
+T, F = 365, 31
 STEPS = 30
 SIZE = "large"
 
 
 def make(ffn_impl, params=None):
-    cfg = model_config_for_size(SIZE, compute_dtype="bfloat16")
+    cfg = model_config_for_size(SIZE, compute_dtype="bfloat16",
+                                num_experts=EXPERTS, moe_top_k=2)
     model = WeatherBERT(cfg, attention_impl="pallas_qkv",
                         ffn_impl=ffn_impl)
     rng = np.random.default_rng(0)
@@ -68,7 +75,10 @@ def timed(run, steps=STEPS):
 
 def main():
     a, params, fwd_fp, (batch, cfg) = make("xla")
-    b, _, fwd_dyn, _ = make("int8", params=params)
+    runs = [("bf16", a, None, None)]
+    if EXPERTS == 0:
+        b, _, fwd_dyn, _ = make("int8", params=params)
+        runs.append(("int8-dyn", b, fwd_dyn, params))
     mask = jnp.zeros((B, T, F), bool)
     quant = calibrate_quant_scales(
         "weatherbert", cfg, params,
@@ -76,24 +86,25 @@ def main():
         attention_impl="pallas_qkv")
     params_q = {"params": params["params"], "quant": quant}
     c, _, fwd_st, _ = make("int8_static", params=params_q)
+    runs.append(("int8-static", c, fwd_st, params_q))
 
     out_fp = np.asarray(fwd_fp(params), np.float32)
-    for name, fwd, p in (("dynamic", fwd_dyn, params),
-                         ("static", fwd_st, params_q)):
+    for name, _, fwd, p in runs[1:]:
         out_q = np.asarray(fwd(p), np.float32)
         rel = np.abs(out_q - out_fp).mean() / np.abs(out_fp).mean()
-        print(f"int8-{name} output drift vs bf16: rel MAE {rel:.5f} "
+        print(f"{name} output drift vs bf16: rel MAE {rel:.5f} "
               f"(max abs {np.abs(out_q - out_fp).max():.5f})", flush=True)
 
-    for run in (a, b, c):
+    for _, run, _, _ in runs:
         float(jax.tree.leaves(run())[0])
     for rnd in range(4):
-        ta, tb, tc = timed(a), timed(b), timed(c)
-        print(f"round {rnd}: bf16 {ta*1e3:7.2f} ms ({B/ta:8.1f}/s) | "
-              f"int8-dyn {tb*1e3:7.2f} ms ({B/tb:8.1f}/s, "
-              f"{(ta/tb-1)*100:+5.1f}%) | "
-              f"int8-static {tc*1e3:7.2f} ms ({B/tc:8.1f}/s, "
-              f"{(ta/tc-1)*100:+5.1f}%)", flush=True)
+        times = [(name, timed(run)) for name, run, _, _ in runs]
+        t0 = times[0][1]
+        line = " | ".join(
+            f"{name} {tt*1e3:7.2f} ms ({B/tt:8.1f}/s"
+            + (f", {(t0/tt-1)*100:+5.1f}%)" if i else ")")
+            for i, (name, tt) in enumerate(times))
+        print(f"round {rnd} (E={EXPERTS}): {line}", flush=True)
 
 
 if __name__ == "__main__":

@@ -115,6 +115,41 @@ def test_int8_dense_static_close_to_fp_and_reduction_free():
     assert np.isfinite(y_hot).all()
 
 
+def test_int8_dense_static_per_channel_scales():
+    """Per-channel [K] activation amax (the calibrated form): exact
+    scale factorization via weight folding, and far lower error than a
+    per-tensor scale when channel magnitudes differ wildly."""
+    from weathermodel_tpu.ops.quant import int8_dense_static
+
+    rng = np.random.default_rng(11)
+    col_scale = 10.0 ** rng.uniform(-2, 2, size=48)   # 4 decades spread
+    x = jnp.asarray((rng.normal(size=(4, 32, 48)) * col_scale)
+                    .astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(48, 64)).astype(np.float32)
+                    / col_scale[:, None])
+    ref = np.asarray(x) @ np.asarray(w)
+
+    amax_pc = jnp.max(jnp.abs(x), axis=(0, 1))        # [K]
+    amax_pt = jnp.max(jnp.abs(x))                     # scalar
+    err_pc = np.abs(np.asarray(int8_dense_static(x, w, amax_pc)) - ref)
+    err_pt = np.abs(np.asarray(int8_dense_static(x, w, amax_pt)) - ref)
+    denom = np.abs(ref).mean()
+    assert err_pc.mean() / denom < 0.02
+    assert err_pc.mean() < 0.2 * err_pt.mean(), (
+        "per-channel scales should dominate per-tensor under a 4-decade "
+        f"channel spread: {err_pc.mean():.4g} vs {err_pt.mean():.4g}")
+
+    # still reduction-free over the activations
+    jaxpr = jax.make_jaxpr(
+        lambda x_: int8_dense_static(x_, w, amax_pc))(x)
+    act_reduces = [
+        e for e in jaxpr.jaxpr.eqns
+        if e.primitive.name.startswith("reduce")
+        and e.invars[0].aval.shape == x.shape
+    ]
+    assert not act_reduces
+
+
 def test_model_int8_static_calibrated_drift_budget():
     from weathermodel_tpu.serve import calibrate_quant_scales
     from weathermodel_tpu.utils.config import model_config_for_size
@@ -124,9 +159,10 @@ def test_model_int8_static_calibrated_drift_budget():
     cfg = model_config_for_size("mini", max_len=52)
     params = model_fp.init(jax.random.PRNGKey(0), *batch)
     quant = calibrate_quant_scales("weatherbert", cfg, params, [batch])
-    # every calibrated absmax is a positive finite scalar
+    # every calibrated absmax is a positive finite per-channel vector
     for leaf in jax.tree.leaves(quant):
-        assert leaf.shape == () and float(leaf) > 0.0
+        assert leaf.ndim == 1 and np.isfinite(leaf).all()
+        assert (np.asarray(leaf) > 0.0).all()
     out_fp = np.asarray(model_fp.apply(params, *batch, deterministic=True))
     out_q = np.asarray(model_q.apply(
         {"params": params["params"], "quant": quant}, *batch,
@@ -152,8 +188,10 @@ def test_calibration_aggregates_max_across_batches():
                                     [big, small])
     for a, b_, c in zip(jax.tree.leaves(q_small), jax.tree.leaves(q_both),
                         jax.tree.leaves(q_flip)):
-        assert float(b_) >= float(a)  # max aggregation, order-free
-        np.testing.assert_allclose(float(b_), float(c), rtol=1e-6)
+        # max aggregation, order-free (elementwise over channels)
+        assert (np.asarray(b_) >= np.asarray(a) - 1e-7).all()
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(c),
+                                   rtol=1e-6)
 
 
 def test_serve_int8_static_flag(tmp_path):
@@ -216,3 +254,63 @@ def test_serve_quantize_flag_smoke(tmp_path):
 
     with pytest.raises(ValueError, match="quantize"):
         load_weather_predictor(str(path), quantize="int4", **kw)
+
+
+def _mini_moe_model_and_batch(ffn_impl):
+    from weathermodel_tpu.models import WeatherBERT
+    from weathermodel_tpu.utils.config import model_config_for_size
+
+    cfg = model_config_for_size("mini", max_len=52, num_experts=4,
+                                moe_top_k=2)
+    model = WeatherBERT(cfg, attention_impl="xla", ffn_impl=ffn_impl)
+    rng = np.random.default_rng(9)
+    b, t, f = 4, 52, cfg.weather_dim
+    batch = (
+        jnp.asarray(rng.normal(size=(b, t, f)).astype(np.float32)),
+        jnp.asarray(rng.uniform(-60, 60, size=(b, 2)).astype(np.float32)),
+        jnp.full((b, t), 1999.0, jnp.float32),
+        jnp.full((b, 1), 7.0, jnp.float32),
+        jnp.asarray(rng.random((b, t, f)) < 0.2),
+    )
+    return model, cfg, batch
+
+
+def test_moe_int8_static_calibrated_drift_budget():
+    """The MoE leg of int8_static: per-expert per-channel calibrated
+    scales, both expert einsums W8A8, routing/gates untouched."""
+    from weathermodel_tpu.serve import calibrate_quant_scales
+
+    model_fp, cfg, batch = _mini_moe_model_and_batch("xla")
+    model_q, _, _ = _mini_moe_model_and_batch("int8_static")
+    params = model_fp.init(jax.random.PRNGKey(0), *batch)
+    quant = calibrate_quant_scales("weatherbert", cfg, params, [batch])
+    # expert stats are per-expert per-channel matrices [E, K]
+    leaves = jax.tree.leaves(quant)
+    assert leaves and all(le.ndim == 2 and le.shape[0] == 4
+                          for le in leaves)
+    out_fp = np.asarray(model_fp.apply(params, *batch, deterministic=True))
+    out_q = np.asarray(model_q.apply(
+        {"params": params["params"], "quant": quant}, *batch,
+        deterministic=True))
+    rel = np.abs(out_q - out_fp).mean() / np.abs(out_fp).mean()
+    assert rel < 0.05, f"MoE int8_static drift {rel:.4f} exceeds budget"
+    assert not np.allclose(out_q, out_fp), "MoE int8_static path inactive"
+
+
+def test_moe_int8_static_guards():
+    from weathermodel_tpu.models import WeatherBERT
+    from weathermodel_tpu.utils.config import model_config_for_size
+
+    # dynamic int8 x MoE: clean error
+    _, _, batch = _mini_moe_model_and_batch("xla")
+    cfg = model_config_for_size("mini", max_len=52, num_experts=4)
+    with pytest.raises(ValueError, match="int8_static"):
+        WeatherBERT(cfg, attention_impl="xla", ffn_impl="int8").init(
+            jax.random.PRNGKey(0), *batch)
+    # int8_static x scatter dispatch: clean error
+    cfg_sc = model_config_for_size("mini", max_len=52, num_experts=4,
+                                   moe_dispatch="scatter")
+    with pytest.raises(ValueError, match="sort"):
+        WeatherBERT(cfg_sc, attention_impl="xla",
+                    ffn_impl="int8_static").init(jax.random.PRNGKey(0),
+                                                 *batch)

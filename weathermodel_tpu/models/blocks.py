@@ -248,11 +248,18 @@ class TransformerEncoderLayer(nn.Module):
         if self.num_experts > 0:
             from weathermodel_tpu.models.moe import MoEFFN
 
+            if self.ffn_impl == "int8":
+                raise ValueError(
+                    "dynamic int8 is not supported for the MoE FFN "
+                    "(its runtime absmax loses even on the dense path); "
+                    "use ffn_impl='int8_static' with calibration")
             ff = MoEFFN(
                 self.hidden_dim, self.ffn_dim, self.num_experts,
                 self.moe_top_k, self.moe_capacity_factor,
                 self.dropout_rate, self.dtype, remat=self.moe_remat,
                 dispatch=self.moe_dispatch, name="moe",
+                quant_mode=(self.ffn_impl if self.ffn_impl in
+                            ("calibrate", "int8_static") else "none"),
             )(x, deterministic=deterministic)
             ff = _dropout(self, ff, self.dropout_rate, deterministic)
             return nn.LayerNorm(
@@ -292,9 +299,12 @@ class TransformerEncoderLayer(nn.Module):
             from weathermodel_tpu.ops.quant import int8_dense, int8_dense_static
 
             if self.ffn_impl == "int8_static":
-                ones = lambda: jnp.ones((), jnp.float32)  # noqa: E731
-                a1 = self.variable("quant", "ffn_in_amax", ones).value
-                a2 = self.variable("quant", "ffn_hidden_amax", ones).value
+                a1 = self.variable(
+                    "quant", "ffn_in_amax",
+                    lambda: jnp.ones((w1.shape[0],), jnp.float32)).value
+                a2 = self.variable(
+                    "quant", "ffn_hidden_amax",
+                    lambda: jnp.ones((w2.shape[0],), jnp.float32)).value
                 ff = nn.relu(int8_dense_static(x, w1, a1, b1))
                 ff = int8_dense_static(ff, w2, a2, b2)
             else:
@@ -314,20 +324,24 @@ class TransformerEncoderLayer(nn.Module):
             ).reshape(b, t, hd)
         else:  # XLA-matmul path (also "calibrate": float FFN + absmax sow)
             if self.ffn_impl == "calibrate":
-                # int8_static calibration pass: record the absmax of each
-                # quantized matmul's input into 'quant_stats' (reduced
-                # with max across calls). serve.calibrate_quant_scales
-                # aggregates these over calibration batches into the
-                # 'quant' collection the int8_static branch reads.
+                # int8_static calibration pass: record the PER-CHANNEL
+                # absmax of each quantized matmul's input into
+                # 'quant_stats' (reduced with max across calls).
+                # serve.calibrate_quant_scales aggregates these over
+                # calibration batches into the 'quant' collection the
+                # int8_static branch reads (int8_dense_static folds the
+                # per-channel scales into the weight quantization).
                 self.sow("quant_stats", "ffn_in_amax",
-                         jnp.max(jnp.abs(x.astype(jnp.float32))),
+                         jnp.max(jnp.abs(x.astype(jnp.float32)),
+                                 axis=tuple(range(x.ndim - 1))),
                          reduce_fn=jnp.maximum,
                          init_fn=lambda: jnp.zeros((), jnp.float32))
             ff = jnp.dot(x, w1.astype(self.dtype)) + b1.astype(self.dtype)
             ff = nn.relu(ff)
             if self.ffn_impl == "calibrate":
                 self.sow("quant_stats", "ffn_hidden_amax",
-                         jnp.max(jnp.abs(ff.astype(jnp.float32))),
+                         jnp.max(jnp.abs(ff.astype(jnp.float32)),
+                                 axis=tuple(range(ff.ndim - 1))),
                          reduce_fn=jnp.maximum,
                          init_fn=lambda: jnp.zeros((), jnp.float32))
             ff = _dropout(self, ff, self.dropout_rate, deterministic)

@@ -237,6 +237,12 @@ class MoEFFN(nn.Module):
     # the original per-row .at[].set formulation. Numerics are identical
     # (equivalence-tested); see BASELINE.md for the measured A/B.
     dispatch: str = "sort"
+    # Serving-only static-int8 expert FFN (ops/quant.py, the MoE leg of
+    # ffn_impl="int8_static"): "calibrate" sows per-expert per-channel
+    # input absmax into 'quant_stats'; "int8_static" reads the calibrated
+    # 'quant' collection and runs both expert einsums W8A8 (int32 MXU
+    # accumulation, scales folded into the weight quantization).
+    quant_mode: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -340,6 +346,31 @@ class MoEFFN(nn.Module):
         dtype, rate = self.dtype, self.dropout_rate
 
         sort_dispatch = self.dispatch == "sort"
+        if self.quant_mode not in ("none", "calibrate", "int8_static"):
+            raise ValueError(f"quant_mode must be 'none', 'calibrate' or "
+                             f"'int8_static', got {self.quant_mode!r}")
+        if self.quant_mode != "none" and not sort_dispatch:
+            raise ValueError("MoE int8_static/calibrate requires "
+                             "dispatch='sort' (the serving default)")
+        if self.quant_mode == "int8_static" and use_dropout:
+            raise ValueError(
+                "quant_mode='int8_static' is a serving/eval path; train "
+                "in bf16/fp32 and quantize at serve time")
+        qa1 = qa2 = None
+        if self.quant_mode == "int8_static":
+            qa1 = self.variable(
+                "quant", "expert_in_amax",
+                lambda: jnp.ones((e, h), jnp.float32)).value
+            qa2 = self.variable(
+                "quant", "expert_hidden_amax",
+                lambda: jnp.ones((e, f), jnp.float32)).value
+            # experts that saw no tokens during calibration carry amax 0:
+            # fall back to the per-channel max across experts rather than
+            # saturating everything routed to them at serve time
+            qa1 = jnp.where(qa1 > 0, qa1, jnp.max(qa1, axis=0,
+                                                  keepdims=True))
+            qa2 = jnp.where(qa2 > 0, qa2, jnp.max(qa2, axis=0,
+                                                  keepdims=True))
 
         def expert_compute(x_, w1_, b1_, w2_, b2_, routing, w_gate,
                            drop_key_):
@@ -363,8 +394,27 @@ class MoEFFN(nn.Module):
                 expert_in = jax.vmap(dispatch_row)(flat_idx_, pos_, xk)
 
             # per-expert FFN (batched MXU einsums)
+            if sort_dispatch and self.quant_mode == "int8_static":
+                from weathermodel_tpu.ops.quant import int8_expert_einsum
+
+                hdn = int8_expert_einsum(expert_in, w1_, qa1,
+                                         out_dtype=dtype)
+                hdn = nn.relu(hdn + b1_[:, None].astype(dtype))
+                out = int8_expert_einsum(hdn, w2_, qa2, out_dtype=dtype)
+                out = out + b2_[:, None].astype(dtype)         # [E, M, H]
+                got = _gather_rows(
+                    out.reshape(1, e * b * cap, h), gslot_, gkeep_,
+                    gtok_, gfill_).reshape(b, t * k, h)
+                return jnp.sum(
+                    (got * w_gate[..., None]).reshape(b, t, k, h), axis=2)
             if sort_dispatch:
                 # [E, M, H] x [E, H, F]: batch dim leading, M contiguous
+                if self.quant_mode == "calibrate":
+                    self.sow("quant_stats", "expert_in_amax",
+                             jnp.max(jnp.abs(expert_in.astype(jnp.float32)),
+                                     axis=1),
+                             reduce_fn=jnp.maximum,
+                             init_fn=lambda: jnp.zeros((), jnp.float32))
                 hdn = jnp.einsum("emh,ehf->emf", expert_in,
                                  w1_.astype(dtype))
                 from weathermodel_tpu.ops import dropout as fast_dropout
@@ -389,6 +439,12 @@ class MoEFFN(nn.Module):
                     # / "nn" ablation), keyed explicitly for remat replay
                     hdn = _keyed_dropout(hdn, drop_key_, rate)
             if sort_dispatch:
+                if self.quant_mode == "calibrate":
+                    self.sow("quant_stats", "expert_hidden_amax",
+                             jnp.max(jnp.abs(hdn.astype(jnp.float32)),
+                                     axis=1),
+                             reduce_fn=jnp.maximum,
+                             init_fn=lambda: jnp.zeros((), jnp.float32))
                 out = jnp.einsum("emf,efh->emh", hdn, w2_.astype(dtype))
                 out = out + b2_[:, None].astype(dtype)         # [E, M, H]
                 got = _gather_rows(

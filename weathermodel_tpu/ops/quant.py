@@ -51,23 +51,52 @@ def int8_dense_static(x, w, a_amax, b=None, out_dtype=None):
     activations beyond the calibrated range saturate at +-127 (standard
     PTQ clipping).
 
-    x: [..., K] float, w: [K, O] float, a_amax: scalar f32 (absmax of x
-    observed during calibration). Returns [..., O] in `out_dtype`
-    (default x.dtype)."""
+    x: [..., K] float, w: [K, O] float, a_amax: scalar f32 OR per-channel
+    [K] f32 (absmax of x observed during calibration). Per-channel scales
+    do not factor out of the K-contraction, so they are FOLDED into the
+    weight before ITS quantization — x @ w == (x/s) @ (diag(s) w) exactly,
+    and the runtime activation pass stays one fused elementwise op (the
+    divide broadcasts; no reduction either way). Returns [..., O] in
+    `out_dtype` (default x.dtype)."""
     out_dtype = out_dtype or x.dtype
     a_scale = jnp.maximum(a_amax, 1e-8).astype(jnp.float32) / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale), -127, 127)
     xq = xq.astype(jnp.int8)
-    wq, ws = quantize_int8(w, axis=0)           # [K, O] int8, [1, O]
+    w_fold = w.astype(jnp.float32) * jnp.reshape(a_scale, (-1, 1))
+    wq, ws = quantize_int8(w_fold, axis=0)      # [K, O] int8, [1, O]
     acc = jax.lax.dot_general(
         xq, wq,
         (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )                                            # [..., O] int32
-    y = acc.astype(jnp.float32) * (a_scale * ws)
+    y = acc.astype(jnp.float32) * ws
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(out_dtype)
+
+
+def int8_expert_einsum(x, w, a_amax, out_dtype=None):
+    """Batched per-expert y[e] = x[e] @ w[e] with STATIC per-expert
+    per-channel activation scales (the MoE analogue of
+    `int8_dense_static`).
+
+    x: [E, M, K] float (dispatched expert inputs, capacity-padded rows
+    are exact zeros and quantize to 0), w: [E, K, O] float,
+    a_amax: [E, K] f32 calibrated absmax. The per-channel scales are
+    folded into each expert's weight before ITS per-output-channel
+    quantization — x[e] @ w[e] == (x[e]/s[e]) @ (diag(s[e]) w[e])
+    exactly — so the runtime activation pass is one fused elementwise op
+    with no reduction. Accumulates int32 on the MXU."""
+    out_dtype = out_dtype or x.dtype
+    a_scale = (jnp.maximum(a_amax, 1e-8).astype(jnp.float32)
+               / 127.0)[:, None, :]                       # [E, 1, K]
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale), -127, 127)
+    xq = xq.astype(jnp.int8)
+    w_fold = w.astype(jnp.float32) * jnp.swapaxes(a_scale, 1, 2)
+    wq, ws = quantize_int8(w_fold, axis=1)                # [E,K,O], [E,1,O]
+    acc = jnp.einsum("emk,eko->emo", xq, wq,
+                     preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * ws).astype(out_dtype)
 
 
 def int8_dense(x, w, b=None, out_dtype=None):
