@@ -1,23 +1,32 @@
-"""Dynamic-int8 (W8A8) dense for the serving path.
+"""Int8 (W8A8) FFN matmuls for the serving path.
 
 TPU v5e's MXU runs int8 x int8 -> int32 matmuls at 2x the bf16 rate
 (394 TOPS vs 197 TFLOP/s peak), so for inference — where there is no
 backward pass to keep in higher precision — quantizing the FFN matmuls
 trades a bounded amount of accuracy for MXU throughput. This is a
 beyond-reference serving capability (the reference serves fp32 eager
-PyTorch); opt in with `ffn_impl="int8"` / `wm-serve --quantize int8`.
+PyTorch).
 
-Scheme (standard dynamic W8A8):
-  * activations: per-token (row) symmetric absmax scale, computed on the
-    fly — weather activations are LayerNormed so rows are well-behaved;
-  * weights: per-output-channel symmetric absmax scale;
-  * accumulate int32 on the MXU (`preferred_element_type`), dequantize
-    with the rank-1 scale outer product, add bias in float.
+Two schemes, one measured verdict (BASELINE.md int8 tables):
 
-Quantizing the weights per call costs one absmax+round over [H, O] —
-noise against the [B*T, H] x [H, O] matmul it feeds. No calibration
-data or fake-quant training is needed; accuracy drift is measured and
-recorded in BASELINE.md (masked-MAE delta on a trained checkpoint).
+  * DYNAMIC (`int8_dense`, `ffn_impl="int8"`): per-token activation
+    absmax computed on the fly. Measured 0.3-0.8% SLOWER than bf16 —
+    the runtime absmax is a full [B,T,4H] VPU reduction that breaks
+    XLA's relu->matmul fusion, costing what the int8 dots save. Kept
+    as the recorded negative result.
+  * STATIC (`int8_dense_static` / `int8_expert_einsum`,
+    `ffn_impl="int8_static"`, `wm-serve --quantize int8_static`):
+    per-channel activation absmax calibrated OFFLINE
+    (serve.calibrate_quant_scales), folded into the weight
+    quantization so the serve-time activation pass is one fused
+    elementwise scale+round+clip with NO reduction. Measured +14% over
+    bf16 at large B=288, 1.16% rel output drift. Out-of-range
+    activations saturate at +-127 (standard PTQ clipping).
+
+Common machinery: weights quantize per-output-channel symmetric absmax
+(per call — one absmax+round over [H, O], noise against the matmul it
+feeds); accumulation is int32 on the MXU (`preferred_element_type`);
+dequant is a rank-1 scale product; bias adds in float.
 """
 
 import jax
