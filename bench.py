@@ -237,6 +237,15 @@ def main():
         "flops_per_sample": flops_per_sample,
         "mfu_note": "achieved dense TFLOP/s vs 197 TF/s v5e bf16 peak; "
                     "analytic matmul FLOPs, no padding counted",
+        # measurement regime (round-3 VERDICT #7): the headline large
+        # config runs an EFFECTIVE batch of 576 as grad_accum=2 microbatches
+        # of 288 vs the reference's global-256 default; per-sample FLOPs are
+        # identical, but the regime belongs next to the number.
+        "effective_batch": b,
+        "grad_accum": ga,
+        "microbatch": b // ga,
+        "regime": f"effective batch {b} = {ga} x {b // ga}-sample "
+                  f"microbatches, T={t}, {mode}, bf16 compute",
         # the reference publishes no numbers (SURVEY.md §6); the denominator
         # is the estimated PyTorch-H100 throughput derived in BASELINE.md
         "baseline_note": "denominator is an estimate, see BASELINE.md",

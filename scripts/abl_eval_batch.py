@@ -67,24 +67,36 @@ def main():
                         jnp.full((2, T), 1990.0, jnp.float32),
                         jnp.full((2, 1), 7.0, jnp.float32),
                         jnp.zeros((2, T, F), bool))
+    # Calibrate on a full-size batch (like abl_int8_static.py) so the
+    # scales are distribution-representative — this script is timing-only,
+    # but unrepresentative scales could shift the int8 path's numerics
+    # enough to matter if anyone ever reads drift off it (ADVICE r3).
+    n_cal = min(BATCHES)
+    wc = jnp.asarray(rng.normal(size=(n_cal, T, F)), jnp.float32)
+    cc = jnp.asarray(rng.uniform(-90, 90, size=(n_cal, 2)), jnp.float32)
     quant = calibrate_quant_scales(
         "weatherbert", cfg, params,
-        [(w2, c2, jnp.full((2, T), 1990.0, jnp.float32),
-          jnp.full((2, 1), 7.0, jnp.float32), jnp.zeros((2, T, F), bool))],
+        [(wc, cc, jnp.full((n_cal, T), 1990.0, jnp.float32),
+          jnp.full((n_cal, 1), 7.0, jnp.float32),
+          jnp.zeros((n_cal, T, F), bool))],
         attention_impl="pallas_qkv")
     params_q = {"params": params["params"], "quant": quant}
 
-    runs = []
-    for b in BATCHES:
-        runs.append((b, "bf16", build("xla", b, params)))
-        runs.append((b, "int8st", build("int8_static", b, params_q)))
-    for _, _, run in runs:                 # compile everything first
-        float(jax.tree.leaves(run())[0])
-    for rnd in range(3):
-        for b, name, run in runs:
-            tt = timed(run)
-            print(f"round {rnd} B={b:4d} {name:7s} {tt*1e3:7.2f} ms "
-                  f"({b/tt:8.1f} samples/s)", flush=True)
+    # Compile + time PER BATCH SIZE (ascending) so an OOM at the largest
+    # B still leaves complete results for the smaller ones (ADVICE r3).
+    for b in sorted(BATCHES):
+        try:
+            runs = [(b, "bf16", build("xla", b, params)),
+                    (b, "int8st", build("int8_static", b, params_q))]
+            for _, _, run in runs:         # compile both impls first
+                float(jax.tree.leaves(run())[0])
+            for rnd in range(3):
+                for _, name, run in runs:
+                    tt = timed(run)
+                    print(f"round {rnd} B={b:4d} {name:7s} {tt*1e3:7.2f} ms "
+                          f"({b/tt:8.1f} samples/s)", flush=True)
+        except Exception as e:
+            print(f"B={b}: FAILED ({type(e).__name__}: {e})", flush=True)
 
 
 if __name__ == "__main__":

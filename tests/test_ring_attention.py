@@ -54,6 +54,37 @@ def test_ring_output_stays_sequence_sharded():
     # uniform inputs -> attention output equals v rows
     np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-6)
 
+@pytest.mark.parametrize("t", [61, 365])
+def test_ring_padded_sequence_matches_full(t):
+    """Sequence lengths NOT divisible by the ring size (the flagship
+    T=365 under any even degree) are padded with masked keys inside the
+    dispatch (ops/attention.py + ring_attention t_valid): real positions
+    must equal unpadded full attention exactly."""
+    from weathermodel_tpu.ops.attention import (
+        configure_ring_attention,
+        multi_head_attention,
+    )
+    from weathermodel_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh = make_mesh(2, 4)  # ring degree 4: 61 -> 64, 365 -> 368
+    b, h, nh = 2, 32, 4
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(b, t, h)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, t, h)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, t, h)), jnp.float32)
+    configure_ring_attention(mesh, MODEL_AXIS, batch_axis=DATA_AXIS)
+
+    @jax.jit
+    def ring(q, k, v):
+        return multi_head_attention(q, k, v, num_heads=nh, impl="ring")
+
+    with mesh:
+        got = ring(q, k, v)
+    want = _full_attention(q, k, v, nh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_ring_bf16_tolerance():
     # the hot-path dtype: bf16 operands, f32 streaming accumulators
     mesh = make_mesh(8, 1)

@@ -127,16 +127,22 @@ def _ring_attention_dispatch(q, k, v, num_heads, key_padding_mask,
     from weathermodel_tpu.parallel.ring_attention import make_ring_attention
 
     n = _RING_CTX["mesh"].shape[_RING_CTX["seq_axis"]]
-    if q.shape[1] % n != 0:
-        raise ValueError(
-            f"sequence length {q.shape[1]} not divisible by the "
-            f"seq-parallel degree {n}"
-        )
+    t = q.shape[1]
+    # Sequence lengths not divisible by the ring size (the flagship
+    # T=365 under any even degree) are padded up to the next multiple;
+    # padded KEY positions are masked out of every softmax inside the
+    # ring (t_valid), and the padded query rows are sliced off here —
+    # outputs for real positions are exactly the unpadded attention.
+    t_pad = -(-t // n) * n
+    t_valid = t if t_pad != t else 0
+    if t_pad != t:
+        pad = ((0, 0), (0, t_pad - t), (0, 0))
+        q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
     rate = dropout_rate if dropout_rng is not None else 0.0
     fn = make_ring_attention(
         _RING_CTX["mesh"], _RING_CTX["seq_axis"], num_heads=num_heads,
         batch_axis=_RING_CTX["batch_axis"], dropout_rate=rate,
+        t_valid=t_valid,
     )
-    if rate > 0.0:
-        return fn(q, k, v, dropout_rng)
-    return fn(q, k, v)
+    out = fn(q, k, v, dropout_rng) if rate > 0.0 else fn(q, k, v)
+    return out[:, :t] if t_pad != t else out

@@ -31,15 +31,28 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# Finite large-negative for masked scores: -inf would turn the running-max
+# correction exp(m - m') into inf*0 = NaN on an all-padding block.
+_NEG = -1e30
 
-def _block_update(q, k_blk, v_blk, acc, l, m, scale, keep=None):
+
+def _block_update(q, k_blk, v_blk, acc, l, m, scale, keep=None,
+                  key_valid=None):
     s = jax.lax.dot_general(
         q, k_blk, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale                                        # [B, Tq, Tk]
+    if key_valid is not None:
+        # padded key positions (sequence padded up to a multiple of the
+        # ring size) are excluded from the softmax: large-negative for
+        # the running max, exactly zero in p. NEG is finite so an
+        # all-padding block still yields finite corr/p (m starts at NEG).
+        s = jnp.where(key_valid[None, None, :], s, _NEG)
     m_new = jnp.maximum(m, jnp.max(s, axis=-1))      # [B, Tq]
     corr = jnp.exp(m - m_new)
     p = jnp.exp(s - m_new[..., None])
+    if key_valid is not None:
+        p = jnp.where(key_valid[None, None, :], p, 0.0)
     # Attention-weight dropout (torch semantics: dropout AFTER softmax
     # normalization): drop entries from the value accumulator only — the
     # normalizer l keeps the FULL row sum, and the caller applies the
@@ -56,13 +69,21 @@ def _block_update(q, k_blk, v_blk, acc, l, m, scale, keep=None):
 
 
 def ring_attention(q, k, v, axis_name: str, num_heads: int = 1,
-                   dropout_rate: float = 0.0, dropout_rng=None):
+                   dropout_rate: float = 0.0, dropout_rng=None,
+                   t_valid: int = 0):
     """Exact attention with q/k/v sequence-sharded over `axis_name`.
 
     q/k/v: [B, T_local, H] per device (H = num_heads * head_dim; heads
     are processed by folding them into the batch dim). Returns the local
     [B, T_local, H] output slice. Must run inside shard_map/pmap with
     `axis_name` defined.
+
+    `t_valid` > 0 marks the GLOBAL sequence as padded: only the first
+    t_valid global positions are real keys; padded positions (the tail
+    the caller appended to reach a multiple of the ring size — e.g. the
+    flagship T=365 under a degree-2 ring pads to 366) are excluded from
+    every softmax. Padded QUERY rows produce junk the caller slices off.
+    0 means no padding (all keys valid).
 
     Attention-weight dropout (torch nn.MultiheadAttention semantics, the
     reference's training default — weatherbert.py:45-51): each (q, k)
@@ -86,22 +107,28 @@ def ring_attention(q, k, v, axis_name: str, num_heads: int = 1,
 
     acc = jnp.zeros((b * num_heads, t, hd), jnp.float32)
     l = jnp.zeros((b * num_heads, t), jnp.float32)
-    m = jnp.full((b * num_heads, t), -jnp.inf, jnp.float32)
+    # start at the finite _NEG (not -inf): with key padding an early block
+    # can be all-masked and exp(m - m') must stay finite
+    m = jnp.full((b * num_heads, t), _NEG, jnp.float32)
 
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     def body(i, carry):
         acc, l, m, k_cur, v_cur = carry
+        # the block held at ring step i originated on device (idx - i)
+        src = jnp.remainder(idx - i, n)
         keep = None
         if dropout_rate > 0.0:
-            # the block held at ring step i originated on device (idx - i)
-            src = jnp.remainder(idx - i, n)
             pair_key = jax.random.fold_in(
                 jax.random.fold_in(dropout_rng, idx), src)
             keep = jax.random.bernoulli(
                 pair_key, 1.0 - dropout_rate, (b * num_heads, t, t))
+        key_valid = None
+        if t_valid:
+            # global positions of this block's keys
+            key_valid = (src * t + jnp.arange(t)) < t_valid
         acc, l, m = _block_update(qh, k_cur, v_cur, acc, l, m, scale,
-                                  keep=keep)
+                                  keep=keep, key_valid=key_valid)
         # rotate k/v to the next device; after n steps every q block has
         # seen every k/v block exactly once
         k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
@@ -122,10 +149,14 @@ def ring_attention(q, k, v, axis_name: str, num_heads: int = 1,
 
 
 def make_ring_attention(mesh, seq_axis: str, num_heads: int = 1,
-                        batch_axis=None, dropout_rate: float = 0.0):
+                        batch_axis=None, dropout_rate: float = 0.0,
+                        t_valid: int = 0):
     """Wrap ring_attention in shard_map over `mesh` with the sequence dim
     of q/k/v (axis 1) sharded over `seq_axis`; the batch dim sharded over
     `batch_axis` when given (composes SP with DP), hidden replicated.
+
+    `t_valid` > 0: the global sequence was padded past t_valid real
+    positions (see ring_attention) — padded keys are masked out.
 
     When dropout_rate > 0 the returned fn takes (q, k, v, dropout_rng)
     with a replicated PRNG key; otherwise (q, k, v)."""
@@ -135,7 +166,8 @@ def make_ring_attention(mesh, seq_axis: str, num_heads: int = 1,
 
     spec = P(batch_axis, seq_axis, None)
     fn = functools.partial(ring_attention, axis_name=seq_axis,
-                           num_heads=num_heads, dropout_rate=dropout_rate)
+                           num_heads=num_heads, dropout_rate=dropout_rate,
+                           t_valid=t_valid)
     if dropout_rate > 0.0:
         return get_shard_map()(
             lambda q, k, v, rng: fn(q, k, v, dropout_rng=rng),
