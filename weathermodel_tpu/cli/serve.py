@@ -32,8 +32,16 @@ logger = logging.getLogger(__name__)
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint", required=True,
-                   help="orbax params dir or reference .pth")
+    p.add_argument("--checkpoint",
+                   help="orbax params dir or reference .pth (exactly one "
+                        "of --checkpoint / --bundle)")
+    p.add_argument("--bundle",
+                   help="daemon mode: serve a frozen wm-export .wmx "
+                        "bundle instead of a checkpoint — params and "
+                        "buckets are baked into the artifact, the "
+                        "serving host needs no model code or checkpoint; "
+                        "/reload swaps in a new bundle (same geometry, "
+                        "warmed before the atomic swap)")
     p.add_argument("--model", default="weatherbert")
     p.add_argument("--model-size", default="small")
     p.add_argument("--input",
@@ -51,6 +59,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-wait-ms", default=5.0, type=float,
                    help="micro-batching window: max extra latency a lone "
                         "request pays waiting to be coalesced")
+    p.add_argument("--max-queue-rows", default=None, type=int,
+                   help="daemon mode: bound on pending request rows "
+                        "(default 8 x --batch-size); beyond it /predict "
+                        "sheds load with 429 + Retry-After instead of "
+                        "growing memory under a flood")
+    p.add_argument("--request-timeout-s", default=None, type=float,
+                   help="daemon mode: end-to-end budget for any accepted "
+                        "request; expiry answers 503 and abandons the "
+                        "rows (default: no timeout)")
     p.add_argument("--allow-reload", action="store_true",
                    help="daemon mode: enable POST /reload "
                         '{"checkpoint": path} — hot-swap the served '
@@ -158,23 +175,46 @@ def _make_predictor(args: argparse.Namespace, t: int):
 
 
 def run(args: argparse.Namespace) -> dict:
+    if (args.checkpoint is None) == (args.bundle is None):
+        raise SystemExit("pass exactly one of --checkpoint / --bundle")
+    if args.bundle and not args.daemon:
+        raise SystemExit("--bundle is daemon-only (offline batch "
+                         "inference on a bundle: use "
+                         "export_artifact.ExportedPredictor directly)")
     if args.daemon:
         from weathermodel_tpu.serving_daemon import serve_forever
 
-        predictor = _make_predictor(args, args.seq_len)
-        reload_fn = None
-        if args.allow_reload:
-            from weathermodel_tpu.serve import reload_predictor_params
+        if args.bundle:
+            from weathermodel_tpu.export_artifact import (
+                BundleServingPredictor,
+            )
 
-            def reload_fn(path):
-                return reload_predictor_params(predictor, path)
+            predictor = BundleServingPredictor(args.bundle)
+            seq_len = predictor.seq_len
+            max_batch = max(predictor.buckets)
+            reload_fn = predictor.reload_bundle if args.allow_reload else None
+            served = args.bundle
+        else:
+            predictor = _make_predictor(args, args.seq_len)
+            seq_len = args.seq_len
+            max_batch = args.batch_size
+            reload_fn = None
+            if args.allow_reload:
+                from weathermodel_tpu.serve import reload_predictor_params
+
+                def reload_fn(path):
+                    return reload_predictor_params(predictor, path)
+
+            served = args.checkpoint
 
         serve_forever(predictor, args.host, args.port,
-                      max_batch=args.batch_size,
+                      max_batch=max_batch,
                       max_wait_ms=args.max_wait_ms,
                       do_warmup=not args.no_warmup,
-                      seq_len=args.seq_len,
-                      reload_fn=reload_fn, checkpoint=args.checkpoint)
+                      seq_len=seq_len,
+                      reload_fn=reload_fn, checkpoint=served,
+                      max_queue_rows=args.max_queue_rows,
+                      request_timeout_s=args.request_timeout_s)
         return {"daemon": True}
     if not args.input or not args.output:
         raise SystemExit("--input and --output are required "
