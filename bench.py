@@ -103,7 +103,9 @@ def main():
         size, compute_dtype="bfloat16", num_experts=moe_experts,
         moe_top_k=int(os.environ.get("BENCH_MOE_TOP_K", "2")),
         moe_remat=os.environ.get("BENCH_MOE_REMAT", "0") != "0",
-        moe_dispatch=os.environ.get("BENCH_MOE_DISPATCH", "sort"))
+        moe_dispatch=os.environ.get("BENCH_MOE_DISPATCH", "sort"),
+        moe_capacity_factor=float(
+            os.environ.get("BENCH_MOE_CF", "1.25")))
     # BENCH_FFN_IMPL=int8 benches the dynamic-W8A8 FFN serving path
     # (ops/quant.py; eval mode only — the int8 FFN has no backward).
     ffn_impl = os.environ.get("BENCH_FFN_IMPL", "xla")

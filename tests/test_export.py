@@ -69,8 +69,9 @@ def test_exported_predictor_pads_to_bucket(tmp_path, model_and_params):
                                   deterministic=True))
     np.testing.assert_allclose(out, live, rtol=1e-6, atol=1e-6)
 
-    with pytest.raises(ValueError, match="exceeds the largest"):
-        pred(*_arrays(9))
+    # oversized batches chunk by the largest bucket instead of raising
+    # (see test_exported_predictor_chunks_oversized_batch)
+    assert pred(*_arrays(9)).shape == (9, T, F)
 
 
 def test_wm_export_cli_from_checkpoint(tmp_path, model_and_params):
@@ -184,3 +185,21 @@ def test_int8_static_export_cli(tmp_path):
     assert not np.allclose(q, fp), "quantized path inactive in the bundle"
     rel = np.abs(aot - fp).mean() / np.abs(fp).mean()
     assert rel < 0.05
+
+
+def test_exported_predictor_chunks_oversized_batch(tmp_path,
+                                                   model_and_params):
+    """Requests larger than the largest baked bucket chunk internally
+    (matching serve.WeatherPredictor) — the daemon's MicroBatcher can
+    coalesce a drained queue past the largest bucket."""
+    model, params = model_and_params
+    path = str(tmp_path / "m.wmx")
+    write_bundle(path, model, params, buckets=(2, 4), seq_len=T,
+                 platforms=("cpu",))
+    pred = ExportedPredictor(path)
+    args = _arrays(11, seed=3)  # 11 > 4: chunks 4+4+3
+    out = pred(*args)
+    assert out.shape == (11, T, F)
+    live = np.asarray(model.apply(params, *map(np.asarray, args),
+                                  deterministic=True))
+    np.testing.assert_allclose(out, live, atol=1e-5)

@@ -510,3 +510,107 @@ def test_sort_routing_identity_across_shapes(e, k, t, capf):
                 s = int(np.asarray(slot)[bi, j])
                 assert filled_np[bi].reshape(-1)[s]
                 assert int(np.asarray(tok)[bi, s]) == j
+
+
+def test_ragged_dispatch_matches_sort_dropless():
+    """The dropless ragged grouped-GEMM path (jax.lax.ragged_dot on real
+    per-expert counts) must reproduce the sort path exactly when the
+    sort path's capacity is large enough that nothing drops — same
+    outputs, same aux loss, same grads (float-rounding-class: the
+    ragged layout changes the GEMM reduction grouping)."""
+    h, f, e = 16, 32, 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 24, h))
+
+    def run(dispatch, capacity_factor):
+        moe = MoEFFN(h, f, e, top_k=2, capacity_factor=capacity_factor,
+                     dropout_rate=0.0, dispatch=dispatch)
+        variables = moe.init(
+            {"params": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)},
+            x, deterministic=False)
+
+        def loss_fn(params, x_):
+            out, mut = moe.apply(
+                {"params": params}, x_, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(3)}, mutable=["moe"])
+            return jnp.sum(jnp.square(out)), (out, mut["moe"]["aux_loss"])
+
+        (val, (out, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"], x)
+        return val, out, aux, grads
+
+    # capacity_factor e/k guarantees cap >= t: zero drops in the sort path
+    v_s, out_s, aux_s, g_s = run("sort", capacity_factor=e / 2)
+    v_r, out_r, aux_r, g_r = run("ragged", capacity_factor=1.0)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r),
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux_s), np.asarray(aux_r),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_r), rtol=1e-6)
+    jax.tree.map(
+        lambda a_, b_: np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), atol=1e-6, rtol=1e-5),
+        g_s, g_r)
+
+
+def test_ragged_dispatch_is_dropless():
+    """Where the capacity-bound sort path drops over-capacity tokens
+    (zeroing their contribution), the ragged path must still compute
+    them: adversarially route everything to one expert and check the
+    outputs differ from the dropping path but every token gets a
+    nonzero output."""
+    h, f, e = 8, 16, 4
+    # near-identical tokens: the router sends all of them to one expert
+    x = jnp.ones((1, 16, h)) + 1e-3 * jax.random.normal(
+        jax.random.PRNGKey(0), (1, 16, h))
+
+    def out_for(dispatch):
+        moe = MoEFFN(h, f, e, top_k=1, capacity_factor=0.25,
+                     dropout_rate=0.0, dispatch=dispatch)
+        variables = moe.init({"params": jax.random.PRNGKey(1)}, x)
+        return moe.apply(variables, x, deterministic=True)
+
+    out_sort = out_for("sort")      # cap 8 rows/expert via padding to 8
+    out_ragged = out_for("ragged")
+    # sort path: all 16 tokens to one expert, cap = max(0.25*1*16/4, 1)
+    # rounded to 8 -> 8 tokens dropped (zero rows)
+    dropped = np.sum(np.all(np.asarray(out_sort) == 0.0, axis=-1))
+    assert dropped >= 8
+    assert np.all(np.any(np.asarray(out_ragged) != 0.0, axis=-1))
+
+
+def test_moe_ragged_training_step_runs():
+    """End-to-end: a WeatherBERT train step with moe_dispatch='ragged'
+    compiles and trains (finite loss + aux) on the CPU mesh."""
+    cfg = ModelConfig(num_heads=4, num_layers=2, hidden_dim_factor=16,
+                      max_len=T, num_experts=4, moe_top_k=2,
+                      moe_dispatch="ragged")
+    model = WeatherBERT(cfg)
+    F = cfg.weather_dim
+    rng = np.random.default_rng(0)
+    b = 8
+    batch = Batch(
+        weather=rng.normal(size=(b, T, F)).astype(np.float32),
+        coords=rng.uniform(-90, 90, size=(b, 2)).astype(np.float32),
+        year=np.full((b, T), 1990.0, np.float32),
+        interval=np.full((b, 1), 7.0, np.float32),
+    )
+    params = model.init(jax.random.PRNGKey(0), batch.weather[:2],
+                        batch.coords[:2], batch.year[:2],
+                        batch.interval[:2], np.zeros((2, T, F), bool))
+    mesh = make_mesh()
+    tx = make_optimizer()
+    state = jax.device_put(
+        TrainState(params=params, opt_state=tx.init(params),
+                   step=np.int32(0)), replicated_sharding(mesh))
+    step = compile_step(make_train_step(model, "masked_mse", "weatherbert",
+                                        tx=tx), mesh)
+    sharded = shard_batch(mesh, batch)
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, sharded, jax.random.PRNGKey(i),
+                              np.float32(1e-3), np.int32(1))
+        losses.append(float(metrics["total_loss"]))
+        assert np.isfinite(metrics["moe_aux"])
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]

@@ -81,10 +81,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "over the mesh's 'model' axis (models/moe.py)")
     p.add_argument("--moe-top-k", default=2, type=int)
     p.add_argument("--moe-dispatch", default="sort",
-                   choices=("sort", "scatter"),
+                   choices=("sort", "ragged", "scatter"),
                    help="MoE data movement: stable-argsort + gather-only "
-                        "custom-VJP (sort) vs per-row scatter (scatter); "
-                        "identical numerics, measured A/B in BASELINE.md")
+                        "custom-VJP (sort), DROPLESS grouped-GEMM via "
+                        "jax.lax.ragged_dot on real per-expert counts "
+                        "(ragged; ignores --moe-capacity-factor), or "
+                        "per-row scatter (scatter); sort==scatter "
+                        "numerics, measured A/Bs in BASELINE.md")
+    p.add_argument("--moe-capacity-factor", default=1.25, type=float,
+                   help="per-expert capacity = cf * top_k * T / E (sort/"
+                        "scatter dispatch; over-capacity tokens drop). "
+                        "Lower cf = less padded MXU work, more drops — "
+                        "measured sweep in BASELINE.md")
     p.add_argument("--moe-remat", action="store_true",
                    help="rematerialize the expert FFN in the backward pass "
                         "(~3x larger batch fits in HBM, ~30%% slower per "
@@ -198,6 +206,7 @@ def run(args: argparse.Namespace) -> dict:
         args.model_size, k=k, compute_dtype=args.compute_dtype,
         num_experts=args.moe_experts, moe_top_k=args.moe_top_k,
         moe_remat=args.moe_remat, moe_dispatch=args.moe_dispatch,
+        moe_capacity_factor=args.moe_capacity_factor,
     )
     tcfg = TrainConfig(
         batch_size=args.batch_size,

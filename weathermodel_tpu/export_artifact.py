@@ -115,12 +115,17 @@ class ExportedPredictor:
 
     def __call__(self, weather, coords, year, interval, mask):
         n = weather.shape[0]
-        fit = [b for b in self.buckets if b >= n]
-        if not fit:
-            raise ValueError(
-                f"batch {n} exceeds the largest exported bucket "
-                f"{self.buckets[-1]}")
-        b = fit[0]
+        big = self.buckets[-1]
+        if n > big:  # chunk large requests by the largest bucket, like
+            # the live serve.WeatherPredictor (the daemon's MicroBatcher
+            # can coalesce a drained queue past max_batch rows)
+            outs = [self(weather[i:i + big], coords[i:i + big],
+                         year[i:i + big], interval[i:i + big],
+                         mask[i:i + big]) for i in range(0, n, big)]
+            if isinstance(outs[0], tuple):
+                return tuple(np.concatenate(parts) for parts in zip(*outs))
+            return np.concatenate(outs)
+        b = [bb for bb in self.buckets if bb >= n][0]
         pad = b - n
 
         def p(a):

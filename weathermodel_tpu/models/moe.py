@@ -103,6 +103,27 @@ def _gather_rows_bwd(res, g):
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
+@jax.custom_vjp
+def _permute_rows(x, order, inv):
+    """y = x[order] for a PERMUTATION `order` with inverse `inv`, with a
+    gather-only VJP: dx = g[inv]. (XLA's automatic vjp of a gather is a
+    scatter-add — sequential dynamic-update-slice loops on TPU; for a
+    bijection the backward is just the inverse gather.)"""
+    return jnp.take(x, order, axis=0)
+
+
+def _permute_rows_fwd(x, order, inv):
+    return _permute_rows(x, order, inv), (inv,)
+
+
+def _permute_rows_bwd(res, g):
+    (inv,) = res
+    return (jnp.take(g, inv, axis=0), None, None)
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
 def _bias_relu_dropout(pre, bias, key, rate, with_dropout):
     """relu(pre + bias) [+ bits8 dropout] as ONE custom-vjp epilogue.
 
@@ -182,6 +203,33 @@ def _sort_routing(flat_idx, e, cap):
     return pos, keep, slot, tok, filled.reshape(b, e * cap), n_e
 
 
+def _ragged_routing(flat_idx, e):
+    """Global (whole-batch) routing for the ragged grouped-GEMM path:
+    one stable argsort of ALL B*T*k expert assignments gives rows
+    contiguous by expert, the exact layout `jax.lax.ragged_dot` wants.
+    Dropless: every assignment is computed (no capacity, no drops) — the
+    static row count S = B*T*k replaces the padded E*B*cap layout, so at
+    capacity_factor 1.25 the expert GEMMs do ~24% less work AND never
+    drop a token.
+
+    Returns (order, inv, n_e):
+      order [S] row order sorting assignments by expert (stable: ties in
+            token-major priority order, same as the capacity race's)
+      inv   [S] inverse permutation (order's scatter side, as a gather)
+      n_e   [E] per-expert assignment counts (ragged_dot group_sizes)
+    """
+    s = flat_idx.size
+    gflat = flat_idx.reshape(s)
+    order = jnp.argsort(gflat, stable=True)
+    sorted_e = gflat[order]
+    experts = jnp.arange(e, dtype=gflat.dtype)
+    start = jnp.searchsorted(sorted_e, experts, side="left")
+    n_e = jnp.diff(jnp.concatenate(
+        [start, jnp.full((1,), s, start.dtype)]))
+    inv = jnp.argsort(order)
+    return order, inv, n_e, sorted_e
+
+
 def _globalize_routing(flat_idx, pos, keep, tok, filled, e, cap):
     """Fold the batch dim into the index maps, E-MAJOR: expert slots are
     laid out [E, B, cap] and tokens [B, Tk], so one flattened gather
@@ -233,9 +281,13 @@ class MoEFFN(nn.Module):
     # pressure largely disappears.
     remat: bool = False
     # "sort" routes with stable-argsort + gather-only custom-VJP data
-    # movement (no one-hot cumsum, no TPU scatter loops); "scatter" is
-    # the original per-row .at[].set formulation. Numerics are identical
-    # (equivalence-tested); see BASELINE.md for the measured A/B.
+    # movement (no one-hot cumsum, no TPU scatter loops); "ragged" is the
+    # DROPLESS grouped-GEMM path (global sort + jax.lax.ragged_dot on
+    # real per-expert counts — no capacity padding, no token drops;
+    # capacity_factor is ignored); "scatter" is the original per-row
+    # .at[].set formulation. sort/scatter are numerically identical
+    # (equivalence-tested); ragged differs only by never dropping
+    # over-capacity tokens. See BASELINE.md for the measured A/Bs.
     dispatch: str = "sort"
     # Serving-only static-int8 expert FFN (ops/quant.py, the MoE leg of
     # ffn_impl="int8_static"): "calibrate" sows per-expert per-channel
@@ -289,6 +341,13 @@ class MoEFFN(nn.Module):
             # assignment sum the classic formulation materializes
             # (measured ~11 ms/step at the flagship config)
             density = jnp.mean(n_e.astype(jnp.float32), axis=0) / t
+        elif self.dispatch == "ragged":
+            # dropless grouped-GEMM path: rows sorted by expert globally,
+            # computed via jax.lax.ragged_dot on the REAL per-expert row
+            # counts — no capacity padding, no token drops
+            order, inv, n_e_glob, sorted_e = _ragged_routing(flat_idx, e)
+            keep = jnp.ones((b, t * k), bool)
+            density = n_e_glob.astype(jnp.float32) / (b * t)
         elif self.dispatch == "scatter":
             # Running count over a row's tokens gives each (token, slot)
             # its slot index inside its expert's per-row buffer.
@@ -305,7 +364,7 @@ class MoEFFN(nn.Module):
                 jnp.sum(onehot, axis=1).astype(jnp.float32), axis=0) / t
         else:
             raise ValueError(
-                f"dispatch must be 'sort' or 'scatter', got "
+                f"dispatch must be 'sort', 'ragged' or 'scatter', got "
                 f"{self.dispatch!r}")
 
         # --- aux losses (Switch balance + z-loss), batch-global ------
@@ -346,6 +405,7 @@ class MoEFFN(nn.Module):
         dtype, rate = self.dtype, self.dropout_rate
 
         sort_dispatch = self.dispatch == "sort"
+        ragged_dispatch = self.dispatch == "ragged"
         if self.quant_mode not in ("none", "calibrate", "int8_static"):
             raise ValueError(f"quant_mode must be 'none', 'calibrate' or "
                              f"'int8_static', got {self.quant_mode!r}")
@@ -375,6 +435,28 @@ class MoEFFN(nn.Module):
         def expert_compute(x_, w1_, b1_, w2_, b2_, routing, w_gate,
                            drop_key_):
             xk = jnp.repeat(x_.astype(dtype), k, axis=1)       # [B, T*k, H]
+
+            if ragged_dispatch:
+                # Dropless grouped GEMM: permute rows expert-contiguous
+                # (gather-only VJP), run jax.lax.ragged_dot on the real
+                # group sizes — the MXU computes only assigned rows
+                # (S = B*T*k) instead of the E*B*cap padded layout. The
+                # per-row expert bias rides a [S,E]x[E,*] one-hot matmul
+                # so its backward is a matmul too (a take() would
+                # backprop as a TPU scatter-add loop).
+                order_, inv_, n_e_, sorted_e_ = routing
+                s = b * t * k
+                xs = _permute_rows(xk.reshape(s, h), order_, inv_)
+                oh = jax.nn.one_hot(sorted_e_, e, dtype=dtype)  # [S, E]
+                hdn = jax.lax.ragged_dot(xs, w1_.astype(dtype), n_e_)
+                hdn = nn.relu(hdn + oh @ b1_.astype(dtype))
+                if use_dropout:
+                    hdn = _keyed_dropout(hdn, drop_key_, rate)
+                out = jax.lax.ragged_dot(hdn, w2_.astype(dtype), n_e_)
+                out = out + oh @ b2_.astype(dtype)              # [S, H]
+                got = _permute_rows(out, inv_, order_).reshape(b, t * k, h)
+                return jnp.sum(
+                    (got * w_gate[..., None]).reshape(b, t, k, h), axis=2)
 
             if sort_dispatch:
                 gtok_, gfill_, gslot_, gkeep_ = routing
@@ -466,6 +548,10 @@ class MoEFFN(nn.Module):
         if self.remat:
             expert_compute = jax.checkpoint(expert_compute)
         w = (gate.reshape(b, t * k) * keep).astype(self.dtype)
-        routing = ((gtok, gfill, gslot, gkeep) if sort_dispatch
-                   else (flat_idx, pos))
+        if sort_dispatch:
+            routing = (gtok, gfill, gslot, gkeep)
+        elif ragged_dispatch:
+            routing = (order, inv, n_e_glob, sorted_e)
+        else:
+            routing = (flat_idx, pos)
         return expert_compute(x, w1, b1, w2, b2, routing, w, drop_key)
