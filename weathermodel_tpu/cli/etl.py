@@ -57,6 +57,22 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("convert-chunk")
     v.add_argument("--pt", required=True)
     v.add_argument("--out", required=True)
+
+    d = sub.add_parser(
+        "drill",
+        help="real-data readiness drill: ETL -> chunk store -> 2-epoch "
+             "pretrain -> 1-fold yield CV, starting from files in the "
+             "reference's exact on-disk formats (generated fixtures by "
+             "default; pass real files to prove day-one readiness)")
+    d.add_argument("--work-dir", required=True)
+    d.add_argument("--nasa-csv", nargs="+", default=None,
+                   help="wide NASA POWER CSVs ({param}_{week} columns); "
+                        "generated fixtures when omitted")
+    d.add_argument("--khaki-csv", default=None,
+                   help="khaki_multi_crop_yield.csv-format file; "
+                        "generated fixture when omitted")
+    d.add_argument("--epochs", default=2, type=int)
+    d.add_argument("--yield-epochs", default=2, type=int)
     return p
 
 
@@ -134,6 +150,13 @@ def run(args: argparse.Namespace) -> None:
             triples, args.out_dir, test_fraction=args.test_fraction,
             seed=args.seed)
         logger.info("split %d triples into %s", len(triples), args.out_dir)
+    elif args.cmd == "drill":
+        from weathermodel_tpu.data.drill import run_drill
+
+        summary = run_drill(args.work_dir, nasa_csvs=args.nasa_csv,
+                            khaki_csv=args.khaki_csv, epochs=args.epochs,
+                            yield_epochs=args.yield_epochs)
+        logger.info("drill summary: %s", json.dumps(summary, indent=2))
     elif args.cmd == "convert-chunk":
         from weathermodel_tpu.data.chunks import convert_reference_chunk
 
