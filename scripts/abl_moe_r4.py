@@ -141,6 +141,14 @@ def run(variant, batch_size):
     params = model.init(jax.random.PRNGKey(0), batch.weather[:2],
                         batch.coords[:2], batch.year[:2], batch.interval[:2],
                         np.zeros((2, t, f), dtype=bool))
+    # Measure drop rate BEFORE building the train state: compile_step
+    # donates state buffers which ALIAS this params pytree, so an eager
+    # apply after the timing loop reads deleted device buffers
+    # (TPU INVALID_ARGUMENT — the r4 B=96 cf sweep died exactly here).
+    extra = ""
+    if dispatch == "sort" and variant.startswith("cf"):
+        dr, cap = drop_rate(cfg, batch, params, model)
+        extra = f"  cap={cap} drop@init={dr:.4f}"
     mesh = make_mesh()
     state = jax.device_put(create_train_state(params),
                            replicated_sharding(mesh))
@@ -160,10 +168,6 @@ def run(variant, batch_size):
         state, metrics = step(state, sharded, sub, lr, n_masked)
     float(metrics["total_loss"])
     dt = time.perf_counter() - t0
-    extra = ""
-    if dispatch == "sort" and variant.startswith("cf"):
-        dr, cap = drop_rate(cfg, batch, params, model)
-        extra = f"  cap={cap} drop@init={dr:.4f}"
     print(f"[abl_moe_r4] variant={variant:12s} B={b} E={EXPERTS} "
           f"step={dt/STEPS*1e3:7.2f} ms  "
           f"{b*STEPS/dt:7.1f} samples/s{extra}", flush=True)
