@@ -88,6 +88,23 @@ def main():
     c, _, fwd_st, _ = make("int8_static", params=params_q)
     runs.append(("int8-static", c, fwd_st, params_q))
 
+    if os.environ.get("ABL_ATTN_QUANT", "1") != "0":
+        # r4 stretch: ALSO quantize the attention out-projection (the one
+        # XLA dot left on the pallas_qkv eval path). The flag is read at
+        # trace time, so it stays on from here; earlier variants are
+        # already built and compile with it off.
+        from weathermodel_tpu.ops import quant as quant_ops
+
+        quant_ops.set_attn_out_quant(True)
+        quant_a = calibrate_quant_scales(
+            "weatherbert", cfg, params,
+            [(batch.weather, batch.coords, batch.year, batch.interval,
+              mask)],
+            attention_impl="pallas_qkv")
+        params_qa = {"params": params["params"], "quant": quant_a}
+        d, _, fwd_at, _ = make("int8_static", params=params_qa)
+        runs.append(("int8-st+attn", d, fwd_at, params_qa))
+
     out_fp = np.asarray(fwd_fp(params), np.float32)
     for name, _, fwd, p in runs[1:]:
         out_q = np.asarray(fwd(p), np.float32)

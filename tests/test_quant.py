@@ -172,6 +172,53 @@ def test_model_int8_static_calibrated_drift_budget():
     assert not np.allclose(out_q, out_fp), "int8_static path inactive"
 
 
+def test_model_int8_static_attn_out_quant():
+    """Opt-in attention out-proj W8A8 (ops.quant.set_attn_out_quant):
+    calibration sows per-layer attn_out_amax scales, the int8_static model
+    consumes them, output stays in budget and differs from the FFN-only
+    quantized output (the path is active)."""
+    from weathermodel_tpu.ops import quant as quant_ops
+    from weathermodel_tpu.serve import calibrate_quant_scales
+    from weathermodel_tpu.utils.config import model_config_for_size
+
+    model_fp, _, batch = _mini_model_and_batch("xla")
+    cfg = model_config_for_size("mini", max_len=52)
+    params = model_fp.init(jax.random.PRNGKey(0), *batch)
+    out_fp = np.asarray(model_fp.apply(params, *batch, deterministic=True))
+
+    model_q, _, _ = _mini_model_and_batch("int8_static")
+    quant_ffn = calibrate_quant_scales("weatherbert", cfg, params, [batch])
+    out_ffn = np.asarray(model_q.apply(
+        {"params": params["params"], "quant": quant_ffn}, *batch,
+        deterministic=True))
+
+    quant_ops.set_attn_out_quant(True)
+    try:
+        quant = calibrate_quant_scales("weatherbert", cfg, params, [batch])
+        names = [jax.tree_util.keystr(path)
+                 for path, _ in jax.tree_util.tree_leaves_with_path(quant)]
+        assert any("attn_out_amax" in n for n in names), names
+        out_q = np.asarray(model_q.apply(
+            {"params": params["params"], "quant": quant}, *batch,
+            deterministic=True))
+    finally:
+        quant_ops.set_attn_out_quant(False)
+
+    rel = np.abs(out_q - out_fp).mean() / np.abs(out_fp).mean()
+    assert rel < 0.05, f"attn-out int8_static drift {rel:.4f} over budget"
+    assert not np.allclose(out_q, out_ffn), "attn out-proj quant inactive"
+
+    # serving without the calibrated attn scales must fail loudly, not
+    # silently fall back to unit scales
+    quant_ops.set_attn_out_quant(True)
+    try:
+        with pytest.raises(Exception):
+            model_q.apply({"params": params["params"], "quant": quant_ffn},
+                          *batch, deterministic=True)
+    finally:
+        quant_ops.set_attn_out_quant(False)
+
+
 def test_calibration_aggregates_max_across_batches():
     from weathermodel_tpu.serve import calibrate_quant_scales
     from weathermodel_tpu.utils.config import model_config_for_size

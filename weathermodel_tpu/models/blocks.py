@@ -83,6 +83,32 @@ class SelfAttention(nn.Module):
     # attention kernel) | "ring" (seq-parallel)
     attention_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
+    # "none" | "calibrate" | "int8_static": W8A8 for the OUT-projection
+    # (serving only; the FFN's scheme extended — ops/quant.py
+    # set_attn_out_quant gates it, TransformerEncoderLayer threads it).
+    quant_mode: str = "none"
+
+    def _out_proj(self, out):
+        """Output projection, optionally W8A8 with calibrated static
+        scales. "calibrate" runs the float projection while sowing the
+        per-channel absmax of its input (serve.calibrate_quant_scales
+        aggregates); "int8_static" reads the calibrated 'quant' scale and
+        runs int8_dense_static (per-channel fold, no runtime reduction)."""
+        h = self.hidden_dim
+        if self.quant_mode == "calibrate":
+            self.sow("quant_stats", "attn_out_amax",
+                     jnp.max(jnp.abs(out.astype(jnp.float32)),
+                             axis=tuple(range(out.ndim - 1))),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
+        elif self.quant_mode == "int8_static":
+            from weathermodel_tpu.ops.quant import int8_dense_static
+
+            wo, wob = DenseParams(h, h, name="out_proj")()
+            a = self.variable("quant", "attn_out_amax",
+                              lambda: jnp.ones((h,), jnp.float32)).value
+            return int8_dense_static(out, wo, a, wob, out_dtype=self.dtype)
+        return torch_dense(h, h, name="out_proj", dtype=self.dtype)(out)
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
@@ -103,6 +129,12 @@ class SelfAttention(nn.Module):
                     flash_attention_fused_outproj,
                 )
 
+                if self.quant_mode == "int8_static":
+                    raise ValueError(
+                        "attention out-proj int8_static requires the "
+                        "projection to run as an XLA dot — use "
+                        "attention_impl='pallas_qkv', not 'pallas_qkv_op' "
+                        "(which fuses the out-proj into the kernel)")
                 wo, wob = DenseParams(h, h, name="out_proj")()
                 seed = _dropout_seed(self) if rate > 0.0 else None
                 return flash_attention_fused_outproj(
@@ -133,7 +165,7 @@ class SelfAttention(nn.Module):
                     key_padding_mask=key_padding_mask,
                     dropout_rate=rate, dropout_rng=rng, impl="xla",
                 )
-            return torch_dense(h, h, name="out_proj", dtype=self.dtype)(out)
+            return self._out_proj(out)
 
         qkv = torch_dense(3 * h, h, name="qkv_proj", dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -150,7 +182,7 @@ class SelfAttention(nn.Module):
             dropout_rng=dropout_rng,
             impl=self.attention_impl,
         )
-        return torch_dense(h, h, name="out_proj", dtype=self.dtype)(out)
+        return self._out_proj(out)
 
 
 class DenseParams(nn.Module):
@@ -238,9 +270,16 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
+        from weathermodel_tpu.ops import quant as quant_ops
+
+        attn_qm = (self.ffn_impl
+                   if (self.ffn_impl in ("calibrate", "int8_static")
+                       and quant_ops.attn_out_quant_enabled())
+                   else "none")
         attn = SelfAttention(
             self.hidden_dim, self.num_heads, self.dropout_rate,
             self.attention_impl, self.dtype, name="self_attn",
+            quant_mode=attn_qm,
         )(x, key_padding_mask, deterministic)
         attn = _dropout(self, attn, self.dropout_rate, deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x + attn)

@@ -124,3 +124,33 @@ def int8_dense(x, w, b=None, out_dtype=None):
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Attention out-projection quantization (opt-in, serving only).
+#
+# With attention_impl="pallas_qkv" (the eval default) the QKV projection
+# runs inside the attention kernel in bf16, but the OUT-projection is
+# still an XLA [.., H] x [H, H] dot — per layer it is 1/8 of the FFN's
+# matmul FLOPs, so quantizing it extends the measured int8_static FFN win
+# by a bounded amount. Follows the FFN scheme exactly: "calibrate" sows
+# the per-channel absmax of the projection input, int8_static folds the
+# calibrated scales into the weight quantization (int8_dense_static).
+# Opt-in via set_attn_out_quant(True) (or WM_QUANT_ATTN_OUT=1) so the A/B
+# is a process-level toggle; models/blocks.py SelfAttention reads it.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_ATTN_OUT_QUANT = _os.environ.get("WM_QUANT_ATTN_OUT", "0") != "0"
+
+
+def set_attn_out_quant(enabled: bool) -> None:
+    """Opt-in: extend int8_static quantization to the attention
+    out-projection (both calibration sowing and the serving matmul)."""
+    global _ATTN_OUT_QUANT
+    _ATTN_OUT_QUANT = bool(enabled)
+
+
+def attn_out_quant_enabled() -> bool:
+    return _ATTN_OUT_QUANT
