@@ -29,12 +29,14 @@ from weathermodel_tpu.ops import (  # noqa: E402
     pallas_dropout,
     pallas_ffn,
     pallas_ffn2,
+    pallas_gmm,
 )
 
 pallas_attention.set_interpret(True)
 pallas_dropout.set_interpret(True)
 pallas_ffn.set_interpret(True)
 pallas_ffn2.set_interpret(True)
+pallas_gmm.set_interpret(True)
 
 import pytest  # noqa: E402
 

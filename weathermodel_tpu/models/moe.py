@@ -438,21 +438,25 @@ class MoEFFN(nn.Module):
 
             if ragged_dispatch:
                 # Dropless grouped GEMM: permute rows expert-contiguous
-                # (gather-only VJP), run jax.lax.ragged_dot on the real
-                # group sizes — the MXU computes only assigned rows
+                # (gather-only VJP), run the pallas grouped matmul
+                # (ops/pallas_gmm.py — jax.lax.ragged_dot lowers 4x-step
+                # slow through the TPU path, see its docstring) on the
+                # real group sizes — the MXU computes only assigned rows
                 # (S = B*T*k) instead of the E*B*cap padded layout. The
                 # per-row expert bias rides a [S,E]x[E,*] one-hot matmul
                 # so its backward is a matmul too (a take() would
                 # backprop as a TPU scatter-add loop).
+                from weathermodel_tpu.ops.pallas_gmm import gmm
+
                 order_, inv_, n_e_, sorted_e_ = routing
                 s = b * t * k
                 xs = _permute_rows(xk.reshape(s, h), order_, inv_)
                 oh = jax.nn.one_hot(sorted_e_, e, dtype=dtype)  # [S, E]
-                hdn = jax.lax.ragged_dot(xs, w1_.astype(dtype), n_e_)
+                hdn = gmm(xs, w1_.astype(dtype), n_e_)
                 hdn = nn.relu(hdn + oh @ b1_.astype(dtype))
                 if use_dropout:
                     hdn = _keyed_dropout(hdn, drop_key_, rate)
-                out = jax.lax.ragged_dot(hdn, w2_.astype(dtype), n_e_)
+                out = gmm(hdn, w2_.astype(dtype), n_e_)
                 out = out + oh @ b2_.astype(dtype)              # [S, H]
                 got = _permute_rows(out, inv_, order_).reshape(b, t * k, h)
                 return jnp.sum(
