@@ -51,9 +51,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False
-# rows per physical tile of the S dim; 128 keeps boundary waste at
-# bm*E/S ~ 1.5% flagship while filling the MXU's sublane dim
-_BM = int(os.environ.get("WM_GMM_BM", "128"))
+# rows per physical tile of the S dim. Measured on the flagship MoE
+# bench (large, E=8, B=96): bm 256 -> 427.7, bm 512 -> 432.8 samples/s
+# (bm=128's 556-virtual-tile grid also blew the Mosaic compile past 25
+# minutes with flush-on-last-visit writes); boundary waste is bm*E/S =
+# 5% at bm=512 vs the padded layout's +31.5%
+_BM = int(os.environ.get("WM_GMM_BM", "512"))
 # "auto": pallas on TPU (or under interpret), lax.ragged_dot elsewhere;
 # "lax" forces the jax.lax path (the measured-slow A/B arm on TPU)
 _IMPL = os.environ.get("WM_GMM_IMPL", "auto")
@@ -132,6 +135,7 @@ def _row_mask(phys_tile, row_start, row_end, bm):
 def _gmm_kernel(gid_ref, phys_ref, rs_ref, re_ref, x_ref, w_ref, o_ref,
                 acc_ref, *, bm):
     v = pl.program_id(1)
+    nv = pl.num_programs(1)
     prev = phys_ref[jnp.maximum(v - 1, 0)]
 
     @pl.when(jnp.logical_or(v == 0, phys_ref[v] != prev))
@@ -142,7 +146,15 @@ def _gmm_kernel(gid_ref, phys_ref, rs_ref, re_ref, x_ref, w_ref, o_ref,
     x = jnp.where(m, x_ref[...], jnp.zeros((), x_ref.dtype))
     acc_ref[...] += jnp.dot(x, w_ref[0],
                             preferred_element_type=jnp.float32)
-    o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+    # cast/copy into the output block only on its LAST visit (the block
+    # is flushed when the index map moves on) — writing every step costs
+    # a bm x bn VPU copy per virtual tile, measured ~leaving 35 ms/step
+    # on the flagship MoE bench
+    nxt = phys_ref[jnp.minimum(v + 1, nv - 1)]
+
+    @pl.when(jnp.logical_or(v == nv - 1, nxt != phys_ref[v]))
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
 def _gmm_pallas(lhs, rhs, group_sizes):
@@ -179,6 +191,7 @@ def _gmm_pallas(lhs, rhs, group_sizes):
 def _tgmm_kernel(gid_ref, phys_ref, rs_ref, re_ref, x_ref, dy_ref, o_ref,
                  acc_ref, *, bm):
     v = pl.program_id(2)
+    nv = pl.num_programs(2)
     prev = gid_ref[jnp.maximum(v - 1, 0)]
 
     @pl.when(jnp.logical_or(v == 0, gid_ref[v] != prev))
@@ -194,7 +207,14 @@ def _tgmm_kernel(gid_ref, phys_ref, rs_ref, re_ref, x_ref, dy_ref, o_ref,
     acc_ref[...] += jax.lax.dot_general(
         x, dy, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+    # flush-on-last-visit, as in _gmm_kernel (a group spans ~S/(E*bm)
+    # consecutive virtual tiles; writing the [bk, bn] block every step
+    # is pure VPU overhead)
+    nxt = gid_ref[jnp.minimum(v + 1, nv - 1)]
+
+    @pl.when(jnp.logical_or(v == nv - 1, nxt != gid_ref[v]))
+    def _():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
 def _tgmm_pallas(lhs, dy, group_sizes, out_dtype):
