@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Round-4 MoE headline A/B: sort (capacity, cf=1.25) vs ragged
+(dropless pallas-gmm grouped GEMM) dispatch, BOTH under the shipped
+big-batch recipe (grad_accum=3, effective batch 288, microbatch 96) —
+the round-3 headline config (BASELINE.md "Gradient accumulation beats
+both remat...", 414.8 samples/s under sort).
+
+Same-process interleaved timing (bench spread is ±2-4% across
+processes; this A/B must resolve a ~5% delta). The ragged path at
+microbatch 96 was measured 432.8 samples/s WITHOUT accumulation
+(docs/evidence/r4_moe/abl_moe_r4_gmm.log); if the GA scan composes the
+same way it did for sort (+4%), dropless should cross the 450 target.
+
+Run (on chip):
+  nohup python scripts/abl_moe_ga_ragged.py > /tmp/ga_ragged.log 2>&1 &
+Env: ABL_STEPS (default 20), ABL_GA (3), ABL_EFF_BATCH (288).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+STEPS = int(os.environ.get("ABL_STEPS", "20"))
+GA = int(os.environ.get("ABL_GA", "3"))
+B = int(os.environ.get("ABL_EFF_BATCH", "288"))
+E = 8
+
+
+def build(dispatch):
+    import jax
+
+    from weathermodel_tpu.models import WeatherBERT
+    from weathermodel_tpu.parallel.mesh import (
+        make_mesh,
+        replicated_sharding,
+        shard_batch,
+    )
+    from weathermodel_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+    )
+    from weathermodel_tpu.train.steps import (
+        Batch,
+        compile_step,
+        make_train_step,
+    )
+    from weathermodel_tpu.utils.config import model_config_for_size
+
+    cfg = model_config_for_size("large", compute_dtype="bfloat16",
+                                num_experts=E, moe_top_k=2,
+                                moe_dispatch=dispatch)
+    model = WeatherBERT(cfg, attention_impl="pallas_qkv")
+    t, f = cfg.max_len, cfg.weather_dim
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        weather=rng.normal(size=(B, t, f)).astype(np.float32),
+        coords=rng.uniform(-90, 90, size=(B, 2)).astype(np.float32),
+        year=np.full((B, t), 1990.0, dtype=np.float32),
+        interval=np.full((B, 1), 7.0, dtype=np.float32),
+    )
+    params = model.init(jax.random.PRNGKey(0), batch.weather[:2],
+                        batch.coords[:2], batch.year[:2],
+                        batch.interval[:2],
+                        np.zeros((2, t, f), dtype=bool))
+    mesh = make_mesh()
+    state = jax.device_put(create_train_state(params),
+                           replicated_sharding(mesh))
+    step = compile_step(
+        make_train_step(model, "masked_mse", "weatherbert",
+                        tx=make_optimizer(), grad_accum=GA),
+        mesh, donate_state=True)
+    sharded = shard_batch(mesh, batch)
+    return step, state, sharded
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    runs = {}
+    for dispatch in ("sort", "ragged"):
+        step, state, sharded = build(dispatch)
+        key = jax.random.PRNGKey(1)
+        lr, n_masked = np.float32(5e-4), np.int32(1)
+        for _ in range(3):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, sharded, sub, lr, n_masked)
+        float(metrics["total_loss"])
+        runs[dispatch] = [step, state, sharded, key]
+        print(f"[ga_ragged] {dispatch}: compiled + warm", flush=True)
+
+    lr, n_masked = np.float32(5e-4), np.int32(1)
+    for rnd in range(4):
+        line = []
+        for dispatch, slot in runs.items():
+            step, state, sharded, key = slot
+            t0 = time.perf_counter()
+            for _ in range(STEPS):
+                key, sub = jax.random.split(key)
+                state, metrics = step(state, sharded, sub, lr, n_masked)
+            float(metrics["total_loss"])
+            dt = time.perf_counter() - t0
+            slot[1], slot[3] = state, key
+            line.append(f"{dispatch} {dt/STEPS*1e3:7.2f} ms "
+                        f"({B*STEPS/dt:7.1f}/s)")
+        print(f"[ga_ragged] round {rnd} GA={GA} eff_B={B}: "
+              + " | ".join(line), flush=True)
+
+
+if __name__ == "__main__":
+    main()
