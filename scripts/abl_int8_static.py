@@ -88,6 +88,17 @@ def main():
     c, _, fwd_st, _ = make("int8_static", params=params_q)
     runs.append(("int8-static", c, fwd_st, params_q))
 
+    # Compile every flag-OFF variant NOW: attention-out quant is a
+    # TRACE-time global and jit traces at first CALL, not at build —
+    # deferring these compiles past set_attn_out_quant(True) makes the
+    # plain int8-static trace read an 'attn_out_amax' variable its
+    # params don't carry (the r4 stage-1 crash).
+    for _, run, fwd, p in runs:
+        float(jax.tree.leaves(run())[0])
+        if fwd is not None:
+            float(np.asarray(fwd(p)).ravel()[0])
+    float(np.asarray(fwd_fp(params)).ravel()[0])
+
     if os.environ.get("ABL_ATTN_QUANT", "1") != "0":
         # r4 stretch: ALSO quantize the attention out-projection (the one
         # XLA dot left on the pallas_qkv eval path). The flag is read at
