@@ -1,21 +1,23 @@
 #!/usr/bin/env python
-"""Round-4 MoE headline A/B: sort (capacity, cf=1.25) vs ragged
+"""Round-4 MoE headline A/B: sort (capacity cf=1.25) vs ragged
 (dropless pallas-gmm grouped GEMM) dispatch, BOTH under the shipped
 big-batch recipe (grad_accum=3, effective batch 288, microbatch 96) —
-the round-3 headline config (BASELINE.md "Gradient accumulation beats
-both remat...", 414.8 samples/s under sort).
+the round-3 headline config (BASELINE.md, 414.8 samples/s under sort).
 
-Same-process interleaved timing (bench spread is ±2-4% across
-processes; this A/B must resolve a ~5% delta). The ragged path at
-microbatch 96 was measured 432.8 samples/s WITHOUT accumulation
-(docs/evidence/r4_moe/abl_moe_r4_gmm.log); if the GA scan composes the
-same way it did for sort (+4%), dropless should cross the 450 target.
+SEQUENTIAL phases, not interleaved: two large-E8 TrainStates (~2.6 GB
+each with Adam) plus two compiled GA programs do not fit 16 GB HBM
+together (the interleaved version of this script died RESOURCE_EXHAUSTED
+warming the second variant). Drift is bounded instead by re-measuring
+phase 1's variant at the end against its own compiled program:
+sort -> ragged -> sort(re-run). Process-level spread is ±2-4%; the
+sort/sort delta is the honest error bar for the sort/ragged delta.
 
 Run (on chip):
   nohup python scripts/abl_moe_ga_ragged.py > /tmp/ga_ragged.log 2>&1 &
 Env: ABL_STEPS (default 20), ABL_GA (3), ABL_EFF_BATCH (288).
 """
 
+import gc
 import os
 import sys
 import time
@@ -69,6 +71,7 @@ def build(dispatch):
     mesh = make_mesh()
     state = jax.device_put(create_train_state(params),
                            replicated_sharding(mesh))
+    del params
     step = compile_step(
         make_train_step(model, "masked_mse", "weatherbert",
                         tx=make_optimizer(), grad_accum=GA),
@@ -77,39 +80,41 @@ def build(dispatch):
     return step, state, sharded
 
 
+def measure(dispatch, rounds=3):
+    import jax
+
+    step, state, sharded = build(dispatch)
+    key = jax.random.PRNGKey(1)
+    lr, n_masked = np.float32(5e-4), np.int32(1)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, sharded, sub, lr, n_masked)
+    float(metrics["total_loss"])
+    print(f"[ga_ragged] {dispatch}: compiled + warm", flush=True)
+    for rnd in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, sharded, sub, lr, n_masked)
+        float(metrics["total_loss"])
+        dt = time.perf_counter() - t0
+        print(f"[ga_ragged] {dispatch} round {rnd} GA={GA} eff_B={B}: "
+              f"{dt/STEPS*1e3:7.2f} ms ({B*STEPS/dt:7.1f}/s)", flush=True)
+    # free the ~2.6 GB TrainState + batch before the next phase compiles
+    del state, sharded, step
+    gc.collect()
+
+
 def main():
     import jax
 
     jax.config.update("jax_default_prng_impl", "rbg")
-
-    runs = {}
-    for dispatch in ("sort", "ragged"):
-        step, state, sharded = build(dispatch)
-        key = jax.random.PRNGKey(1)
-        lr, n_masked = np.float32(5e-4), np.int32(1)
-        for _ in range(3):
-            key, sub = jax.random.split(key)
-            state, metrics = step(state, sharded, sub, lr, n_masked)
-        float(metrics["total_loss"])
-        runs[dispatch] = [step, state, sharded, key]
-        print(f"[ga_ragged] {dispatch}: compiled + warm", flush=True)
-
-    lr, n_masked = np.float32(5e-4), np.int32(1)
-    for rnd in range(4):
-        line = []
-        for dispatch, slot in runs.items():
-            step, state, sharded, key = slot
-            t0 = time.perf_counter()
-            for _ in range(STEPS):
-                key, sub = jax.random.split(key)
-                state, metrics = step(state, sharded, sub, lr, n_masked)
-            float(metrics["total_loss"])
-            dt = time.perf_counter() - t0
-            slot[1], slot[3] = state, key
-            line.append(f"{dispatch} {dt/STEPS*1e3:7.2f} ms "
-                        f"({B*STEPS/dt:7.1f}/s)")
-        print(f"[ga_ragged] round {rnd} GA={GA} eff_B={B}: "
-              + " | ".join(line), flush=True)
+    # persistent compile cache: phase 3 recompiles phase 1's exact HLO
+    from weathermodel_tpu.utils.compilation_cache import enable
+    enable(None)
+    measure("sort")
+    measure("ragged")
+    measure("sort", rounds=2)   # drift bound: same config, fresh state
 
 
 if __name__ == "__main__":
