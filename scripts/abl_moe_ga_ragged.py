@@ -112,9 +112,21 @@ def main():
     # persistent compile cache: phase 3 recompiles phase 1's exact HLO
     from weathermodel_tpu.utils.compilation_cache import enable
     enable(None)
-    measure("sort")
-    measure("ragged")
-    measure("sort", rounds=2)   # drift bound: same config, fresh state
+    # One phase per PROCESS (argv[1]): even sequential in-process phases
+    # died RESOURCE_EXHAUSTED mid-rounds — the freed first-phase buffers
+    # fragment HBM enough that the second large-E8 GA program cannot
+    # place its arena. A process exit is the only full HBM reset through
+    # axon; the bash driver runs sort -> ragged -> sort2 and the compile
+    # cache makes phase 3's recompile cheap.
+    phase = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if phase == "all":
+        measure("sort")
+        measure("ragged")
+        measure("sort", rounds=2)   # drift bound: same config, fresh state
+    elif phase == "sort2":
+        measure("sort", rounds=2)
+    else:
+        measure(phase)
 
 
 if __name__ == "__main__":
