@@ -36,6 +36,36 @@ def test_flag_plumbing(tmp_path):
     assert cc.enable_from_args(args) is None
 
 
+def test_default_dir_is_machine_keyed(monkeypatch):
+    """The unkeyed home-dir default served cross-machine cpu_aot_loader
+    artifacts ("machine feature mismatch ... could lead to SIGILL"); the
+    default dir must embed a per-machine fingerprint so a cache written
+    on one host is never loaded on another."""
+    monkeypatch.delenv("WEATHERMODEL_COMPILATION_CACHE", raising=False)
+    d = cc.default_dir()
+    key = os.path.basename(d)
+    assert key == cc._machine_key()
+    assert len(key) == 12 and all(c in "0123456789abcdef" for c in key)
+    assert os.path.basename(os.path.dirname(d)) == "xla"
+
+
+def test_snapshot_restore_roundtrip(tmp_path):
+    """Tests host CLI run() in-process; enabling the cache is a
+    process-global side effect that must be revertible (the conftest
+    autouse fixture relies on this)."""
+    snap = cc.snapshot()
+    cc.enable(str(tmp_path / "xla"))
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla")
+    assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.0
+    cc.restore(snap)
+    assert jax.config.jax_compilation_cache_dir == snap["dir"]
+    assert (jax.config.jax_persistent_cache_min_compile_time_secs
+            == snap["min_secs"])
+    cc.enable(str(tmp_path / "xla2"))
+    cc.disable()
+    assert jax.config.jax_compilation_cache_dir is None
+
+
 def test_all_clis_expose_the_flag():
     import importlib
 

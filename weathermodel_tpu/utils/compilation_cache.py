@@ -15,6 +15,7 @@ $WEATHERMODEL_COMPILATION_CACHE or ~/.cache/weathermodel_tpu/xla;
 pass --compilation-cache-dir none to disable, or a path to relocate.
 """
 
+import hashlib
 import logging
 import os
 from typing import Optional
@@ -24,11 +25,38 @@ logger = logging.getLogger(__name__)
 _ENV = "WEATHERMODEL_COMPILATION_CACHE"
 
 
+def _machine_key() -> str:
+    """Short fingerprint of THIS machine's CPU so the default cache dir is
+    never shared across hosts. XLA's own cache key does not cover host CPU
+    features: entries written by `cpu_aot_loader` on one machine load on
+    another with "machine feature mismatch ... could lead to SIGILL"
+    errors (observed when a home-dir cache travelled between hosts). Keyed
+    on the CPU model + feature flags (Linux cpuinfo), falling back to the
+    platform tuple."""
+    try:
+        fields = []
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                k = line.split(":", 1)[0].strip()
+                if k in ("model name", "flags"):
+                    fields.append(line.strip())
+                    if len(fields) == 2:
+                        break
+        blob = "|".join(fields)
+    except OSError:
+        blob = ""
+    if not blob:
+        import platform
+
+        blob = "|".join(platform.uname())
+    return hashlib.sha256(blob.encode()).hexdigest()[:12]
+
+
 def default_dir() -> str:
     return os.environ.get(
         _ENV,
         os.path.join(os.path.expanduser("~"), ".cache", "weathermodel_tpu",
-                     "xla"),
+                     "xla", _machine_key()),
     )
 
 
@@ -48,6 +76,35 @@ def enable(path: Optional[str] = None) -> Optional[str]:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     logger.info("persistent XLA compilation cache: %s", path)
     return path
+
+
+def disable() -> None:
+    """Turn the persistent cache back off (process-global). CLI `run()`
+    functions enable the cache as a process-global side effect; anything
+    hosting them in-process (tests, notebooks) can restore prior state
+    with snapshot()/restore() or this."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", None)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def snapshot() -> dict:
+    """Capture the process-global cache config (see disable())."""
+    import jax
+
+    return {
+        "dir": jax.config.jax_compilation_cache_dir,
+        "min_secs": jax.config.jax_persistent_cache_min_compile_time_secs,
+    }
+
+
+def restore(snap: dict) -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", snap["dir"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      snap["min_secs"])
 
 
 def add_flag(parser) -> None:
