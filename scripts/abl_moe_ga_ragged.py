@@ -4,16 +4,20 @@
 big-batch recipe (grad_accum=3, effective batch 288, microbatch 96) —
 the round-3 headline config (BASELINE.md, 414.8 samples/s under sort).
 
-SEQUENTIAL phases, not interleaved: two large-E8 TrainStates (~2.6 GB
-each with Adam) plus two compiled GA programs do not fit 16 GB HBM
-together (the interleaved version of this script died RESOURCE_EXHAUSTED
-warming the second variant). Drift is bounded instead by re-measuring
-phase 1's variant at the end against its own compiled program:
-sort -> ragged -> sort(re-run). Process-level spread is ±2-4%; the
-sort/sort delta is the honest error bar for the sort/ragged delta.
+ONE PHASE PER PROCESS: two large-E8 TrainStates (~2.6 GB each with
+Adam) plus two compiled GA programs do not fit 16 GB HBM together, and
+even sequential in-process phases die RESOURCE_EXHAUSTED — freed
+phase-1 buffers fragment HBM enough that phase 2's arena cannot place
+(process exit is the only full reset through axon). Drift is bounded by
+re-running phase 1's variant last in a third process: sort -> ragged ->
+sort2. Process-level spread is ±2-4%; the sort/sort2 delta is the
+honest error bar for the sort/ragged delta.
 
-Run (on chip):
-  nohup python scripts/abl_moe_ga_ragged.py > /tmp/ga_ragged.log 2>&1 &
+Run (on chip) one phase per process, e.g. via scripts/r4_campaign5.sh
+stage 2:
+  python scripts/abl_moe_ga_ragged.py sort
+  python scripts/abl_moe_ga_ragged.py ragged
+  python scripts/abl_moe_ga_ragged.py sort2
 Env: ABL_STEPS (default 20), ABL_GA (3), ABL_EFF_BATCH (288).
 """
 
@@ -120,6 +124,10 @@ def main():
     # cache makes phase 3's recompile cheap.
     phase = sys.argv[1] if len(sys.argv) > 1 else "all"
     if phase == "all":
+        print("[ga_ragged] WARNING: phase 'all' runs every phase "
+              "in-process and is KNOWN to die RESOURCE_EXHAUSTED on the "
+              "16GB chip (HBM fragmentation); run one phase per process "
+              "instead (see module docstring).", flush=True)
         measure("sort")
         measure("ragged")
         measure("sort", rounds=2)   # drift bound: same config, fresh state
