@@ -111,6 +111,76 @@ def test_gmm_matches_lax_ragged_dot():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("s,gs", GS_CASES[:3] + [GS_CASES[4]])
+def test_gmm_sharded_shards_sum_to_full(s, gs):
+    """Expert-parallel shard-local gmm: each shard computes only its own
+    group slice's rows; summing shard outputs == the full gmm (what the
+    MoE EP-ragged psum relies on). Covers empty local slices and group
+    boundaries inside row tiles."""
+    from weathermodel_tpu.ops.pallas_gmm import gmm_sharded
+
+    lhs, rhs, g = _case(4, s, 16, 24, gs)
+    e = rhs.shape[0]
+    for m in (2, e):                  # 2-way and fully-sharded slices
+        if e % m:
+            continue
+        e_loc = e // m
+        parts = [gmm_sharded(lhs, rhs[j * e_loc:(j + 1) * e_loc], g,
+                             jnp.asarray(j * e_loc, jnp.int32))
+                 for j in range(m)]
+        # each row is non-zero on at most one shard
+        nz = sum((np.abs(np.asarray(p)).max(axis=1) > 0).astype(int)
+                 for p in parts)
+        assert nz.max() <= 1
+        np.testing.assert_allclose(np.asarray(sum(parts)),
+                                   _dense_ref(lhs, rhs, g),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_gmm_sharded_grads_match_full():
+    """d_lhs / d_rhs of the sharded gmm, summed/stacked over shards,
+    must equal the full gmm's grads (the EP backward path)."""
+    from weathermodel_tpu.ops.pallas_gmm import gmm_sharded
+
+    s, gs = 300, [128, 0, 44, 128]
+    lhs, rhs, g = _case(5, s, 8, 12, gs)
+    e, e_loc = rhs.shape[0], 2
+
+    def loss_full(lhs, rhs):
+        return jnp.sum(gmm(lhs, rhs, g) ** 2)
+
+    def loss_sharded(lhs, rhs):
+        y = sum(gmm_sharded(lhs, rhs[j * e_loc:(j + 1) * e_loc], g,
+                            jnp.asarray(j * e_loc, jnp.int32))
+                for j in range(e // e_loc))
+        return jnp.sum(y ** 2)
+
+    gl, gr = jax.grad(loss_sharded, argnums=(0, 1))(lhs, rhs)
+    dl, dr = jax.grad(loss_full, argnums=(0, 1))(lhs, rhs)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(dl),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(dr),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gmm_sharded_ref_fallback_matches_pallas():
+    """The off-TPU (non-interpret) reference path must agree with the
+    interpret-mode kernel — dryrun_multichip's CPU mesh runs through it."""
+    from weathermodel_tpu.ops import pallas_gmm as pg
+    from weathermodel_tpu.ops.pallas_gmm import gmm_sharded
+
+    lhs, rhs, g = _case(6, 256, 16, 24, [100, 60, 96, 0])
+    off = jnp.asarray(2, jnp.int32)
+    out_kernel = gmm_sharded(lhs, rhs[2:], g, off)
+    try:
+        pg.set_interpret(False)
+        out_ref = gmm_sharded(lhs, rhs[2:], g, off)
+    finally:
+        pg.set_interpret(True)
+    np.testing.assert_allclose(np.asarray(out_kernel), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_moe_ragged_ffn_uses_gmm_and_matches_sort(monkeypatch):
     """End-to-end through MoEFFN: the ragged (gmm) path still matches the
     sort path when nothing is dropped (same guarantee the lax.ragged_dot

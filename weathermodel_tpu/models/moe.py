@@ -41,6 +41,28 @@ from weathermodel_tpu.models.blocks import (
     torch_linear_kernel_init,
 )
 
+# Mesh for the EP-ragged shard_map path (configure_expert_parallel).
+# GSPMD can shard the sort path's einsums from param annotations alone,
+# but it cannot partition a pallas_call — so the dropless grouped-GEMM
+# (ragged) path composes with expert parallelism via an explicit
+# shard_map instead (same configure-before-trace pattern as
+# ops/attention.configure_ring_attention).
+_EP_MESH = None
+
+
+def configure_expert_parallel(mesh) -> None:
+    """Declare the (data, model) mesh the ragged-dispatch expert block
+    shard_maps over. Call BEFORE tracing/jitting the step (the trainer
+    does this when --tensor-parallel > 1 composes with
+    --moe-dispatch ragged); None restores the single-device/GSPMD-only
+    behavior."""
+    global _EP_MESH
+    _EP_MESH = mesh
+
+
+def get_ep_mesh():
+    return _EP_MESH
+
 
 def _keyed_dropout(x, key, rate):
     """blocks._dropout's impl dispatch (ops.dropout bits8 default / "nn"
@@ -228,6 +250,80 @@ def _ragged_routing(flat_idx, e):
         [start, jnp.full((1,), s, start.dtype)]))
     inv = jnp.argsort(order)
     return order, inv, n_e, sorted_e
+
+
+def _ep_ragged_experts(mesh, xs, sorted_e, n_e, w1, b1, w2, b2, drop_key,
+                       rate, use_dropout, dtype):
+    """Expert-parallel dropless expert FFN: the ragged grouped-GEMM block
+    shard_mapped over the (data, model) mesh (VERDICT r4 directive #2 —
+    the fastest MoE path previously forced EP back onto the slower,
+    token-dropping sort dispatch).
+
+    Layout: xs rows ([S, H], globally sorted by expert) shard over
+    'data'; expert weights shard over 'model' on the expert dim (the
+    same placement parallel/mesh.param_sharding_rules already gives
+    them — FSDP-filled axes are all-gathered by GSPMD at the shard_map
+    boundary). Each (data_i, model_j) device intersects its row chunk
+    with its expert slice: chunk-local group sizes fall out of clipping
+    the global cumsum, and `gmm_sharded` builds virtual tiles only for
+    the local experts — compute scales by 1/(data*model). Rows of other
+    shards' experts come back zero (gmm_sharded masks; one_hot of an
+    out-of-range local id is a zero row, so the biases vanish too), so a
+    psum over 'model' reconstitutes every row exactly once. The psum
+    moves S_local*H floats over ICI — the EP combine; dispatch needed no
+    collective because the rows were already data-sharded.
+
+    The dropout stream differs from the single-device layout (per-shard
+    shapes; the key is folded with the shard index for decorrelation) —
+    layout equality is therefore tested deterministically
+    (tests/test_moe_ep_ragged.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    from weathermodel_tpu.ops.pallas_gmm import gmm_sharded
+    from weathermodel_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    e = w1.shape[0]
+    m = int(mesh.shape[MODEL_AXIS])
+    e_loc = e // m
+    if e_loc * m != e:
+        raise ValueError(f"num_experts={e} not divisible by the mesh "
+                         f"'model' axis ({m})")
+    if drop_key is None:
+        drop_key = jax.random.PRNGKey(0)   # unused (use_dropout False)
+
+    def body(xs_l, se_l, gs, w1_l, b1_l, w2_l, b2_l, key):
+        mi = jax.lax.axis_index(MODEL_AXIS)
+        di = jax.lax.axis_index(DATA_AXIS)
+        off = mi * e_loc
+        s_loc = xs_l.shape[0]
+        gsi = gs.astype(jnp.int32)
+        ends = jnp.cumsum(gsi)
+        # chunk-local group sizes: clip each global group's [start, end)
+        # to this data shard's row range (cumsum telescopes, so the
+        # local cumsum reproduces the clipped ends exactly)
+        r0 = di * s_loc
+        l_gs = (jnp.clip(ends - r0, 0, s_loc)
+                - jnp.clip(ends - gsi - r0, 0, s_loc))
+        le = se_l.astype(jnp.int32) - off
+        oh = jax.nn.one_hot(le, e_loc, dtype=dtype)     # [S_loc, E_loc]
+        hdn = gmm_sharded(xs_l, w1_l.astype(dtype), l_gs, off)
+        hdn = nn.relu(hdn + oh @ b1_l.astype(dtype))
+        if use_dropout:
+            hdn = _keyed_dropout(
+                hdn, jax.random.fold_in(key, di * m + mi), rate)
+        out = gmm_sharded(hdn, w2_l.astype(dtype), l_gs, off)
+        out = out + oh @ b2_l.astype(dtype)
+        return jax.lax.psum(out, MODEL_AXIS)            # EP combine
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(MODEL_AXIS),
+                  P(MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS), P()),
+        out_specs=P(DATA_AXIS),
+        # pallas_call can't annotate varying-mesh-axes metadata; model-
+        # axis replication of the output is established by the psum
+        check_vma=False,
+    )(xs, sorted_e, n_e, w1, b1, w2, b2, drop_key)
 
 
 def _globalize_routing(flat_idx, pos, keep, tok, filled, e, cap):
@@ -446,18 +542,28 @@ class MoEFFN(nn.Module):
                 # per-row expert bias rides a [S,E]x[E,*] one-hot matmul
                 # so its backward is a matmul too (a take() would
                 # backprop as a TPU scatter-add loop).
-                from weathermodel_tpu.ops.pallas_gmm import gmm
-
                 order_, inv_, n_e_, sorted_e_ = routing
                 s = b * t * k
                 xs = _permute_rows(xk.reshape(s, h), order_, inv_)
-                oh = jax.nn.one_hot(sorted_e_, e, dtype=dtype)  # [S, E]
-                hdn = gmm(xs, w1_.astype(dtype), n_e_)
-                hdn = nn.relu(hdn + oh @ b1_.astype(dtype))
-                if use_dropout:
-                    hdn = _keyed_dropout(hdn, drop_key_, rate)
-                out = gmm(hdn, w2_.astype(dtype), n_e_)
-                out = out + oh @ b2_.astype(dtype)              # [S, H]
+                mesh = _EP_MESH
+                if mesh is not None and e > 1 and \
+                        int(mesh.shape.get("model", 1)) > 1:
+                    # expert-parallel shard_map path (see
+                    # _ep_ragged_experts) — GSPMD cannot partition the
+                    # pallas grouped-GEMM call on its own
+                    out = _ep_ragged_experts(
+                        mesh, xs, sorted_e_, n_e_, w1_, b1_, w2_, b2_,
+                        drop_key_, rate, use_dropout, dtype)
+                else:
+                    from weathermodel_tpu.ops.pallas_gmm import gmm
+
+                    oh = jax.nn.one_hot(sorted_e_, e, dtype=dtype)  # [S, E]
+                    hdn = gmm(xs, w1_.astype(dtype), n_e_)
+                    hdn = nn.relu(hdn + oh @ b1_.astype(dtype))
+                    if use_dropout:
+                        hdn = _keyed_dropout(hdn, drop_key_, rate)
+                    out = gmm(hdn, w2_.astype(dtype), n_e_)
+                    out = out + oh @ b2_.astype(dtype)          # [S, H]
                 got = _permute_rows(out, inv_, order_).reshape(b, t * k, h)
                 return jnp.sum(
                     (got * w_gate[..., None]).reshape(b, t, k, h), axis=2)

@@ -133,6 +133,19 @@ class PretrainTrainer:
 
             step_model = make_pipelined_model(
                 model, self.mesh, n_micro=pipeline_microbatches)
+        # EP x ragged dispatch: the dropless grouped-GEMM expert block is
+        # a pallas call GSPMD cannot partition — hand it the mesh so it
+        # shard_maps itself over (data, model). Set unconditionally
+        # (None when not applicable) so one in-process trainer never
+        # inherits another's mesh; read at trace time below.
+        from weathermodel_tpu.models.moe import configure_expert_parallel
+
+        configure_expert_parallel(
+            self.mesh if (tensor_parallel > 1
+                          and getattr(model_cfg, "num_experts", 0) > 0
+                          and getattr(model_cfg, "moe_dispatch", "")
+                          == "ragged")
+            else None)
         self.workdir = workdir
         if objective is None or masking is None:
             objective, masking = OBJECTIVE_FOR_MODEL[model_name]
