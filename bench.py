@@ -99,13 +99,20 @@ def main():
     # BENCH_MOE_EXPERTS>0 benches the expert-parallel MoE FFN variant
     # (models/moe.py); the headline/default path stays dense.
     moe_experts = int(os.environ.get("BENCH_MOE_EXPERTS", "0"))
+    cfg_overrides = {}
+    # BENCH_DROPOUT_RATE=0 ablates the dropout mask generation+apply out
+    # of the full step (scripts/abl_bwd_mfu.sh train-floor accounting)
+    if "BENCH_DROPOUT_RATE" in os.environ:
+        cfg_overrides["dropout_rate"] = float(
+            os.environ["BENCH_DROPOUT_RATE"])
     cfg = model_config_for_size(
         size, compute_dtype="bfloat16", num_experts=moe_experts,
         moe_top_k=int(os.environ.get("BENCH_MOE_TOP_K", "2")),
         moe_remat=os.environ.get("BENCH_MOE_REMAT", "0") != "0",
         moe_dispatch=os.environ.get("BENCH_MOE_DISPATCH", "sort"),
         moe_capacity_factor=float(
-            os.environ.get("BENCH_MOE_CF", "1.25")))
+            os.environ.get("BENCH_MOE_CF", "1.25")),
+        **cfg_overrides)
     # BENCH_FFN_IMPL=int8 benches the dynamic-W8A8 FFN serving path
     # (ops/quant.py; eval mode only — the int8 FFN has no backward).
     ffn_impl = os.environ.get("BENCH_FFN_IMPL", "xla")

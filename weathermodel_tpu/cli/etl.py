@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "generated fixture when omitted")
     d.add_argument("--epochs", default=2, type=int)
     d.add_argument("--yield-epochs", default=2, type=int)
+    d.add_argument("--attention-impl", default="xla",
+                   help="attention impl for the drill's pretrain/yield "
+                        "legs (default xla — runs everywhere; pass "
+                        "'auto' on a TPU to drive the pallas hot path)")
     return p
 
 
@@ -155,7 +159,8 @@ def run(args: argparse.Namespace) -> None:
 
         summary = run_drill(args.work_dir, nasa_csvs=args.nasa_csv,
                             khaki_csv=args.khaki_csv, epochs=args.epochs,
-                            yield_epochs=args.yield_epochs)
+                            yield_epochs=args.yield_epochs,
+                            attention_impl=args.attention_impl)
         logger.info("drill summary: %s", json.dumps(summary, indent=2))
     elif args.cmd == "convert-chunk":
         from weathermodel_tpu.data.chunks import convert_reference_chunk
