@@ -344,6 +344,70 @@ def test_moe_int8_static_calibrated_drift_budget():
     assert not np.allclose(out_q, out_fp), "MoE int8_static path inactive"
 
 
+def test_moe_calibration_is_dropless():
+    """calibrate_quant_scales routes MoE calibration through the ragged
+    (dropless) dispatch (VERDICT r4 directive #6): with ample capacity
+    the stats match the sort layout's exactly; with tight capacity the
+    dropless stats DOMINATE (>=, strictly > somewhere) because the sort
+    layout's dropped tokens are absent from its amax."""
+    from weathermodel_tpu.models.moe import MoEFFN
+
+    h, f, e = 8, 16, 4
+    b, t = 4, 16
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(b, t, h)), jnp.float32)
+
+    def stats(dispatch, capf):
+        m = MoEFFN(hidden_dim=h, ffn_dim=f, num_experts=e, top_k=2,
+                   capacity_factor=capf, dropout_rate=0.0,
+                   dispatch=dispatch, quant_mode="calibrate")
+        params = MoEFFN(hidden_dim=h, ffn_dim=f, num_experts=e, top_k=2,
+                        dropout_rate=0.0, dispatch=dispatch).init(
+            jax.random.PRNGKey(0), x, deterministic=True)
+        _, mut = m.apply(params, x, deterministic=True,
+                         mutable=["moe", "quant_stats"])
+        return jax.tree.map(np.asarray, mut["quant_stats"])
+
+    # ample capacity: no drops -> identical per-expert amax either way
+    s_sort = stats("sort", float(e))
+    s_ragged = stats("ragged", float(e))
+    for a, b_ in zip(jax.tree.leaves(s_sort), jax.tree.leaves(s_ragged)):
+        np.testing.assert_allclose(a, b_, rtol=1e-5, atol=1e-6)
+
+    # tight capacity: sort drops tokens, ragged sees them all
+    s_sort_t = stats("sort", 0.5)
+    s_ragged_t = stats("ragged", 0.5)   # capf ignored by ragged
+    ge = all(np.all(rb >= sb - 1e-6) for sb, rb in
+             zip(jax.tree.leaves(s_sort_t), jax.tree.leaves(s_ragged_t)))
+    gt = any(np.any(rb > sb + 1e-6) for sb, rb in
+             zip(jax.tree.leaves(s_sort_t), jax.tree.leaves(s_ragged_t)))
+    assert ge and gt, "dropless stats must dominate the capacity stats"
+
+
+def test_calibrate_quant_scales_moe_uses_ragged(monkeypatch):
+    """The serve-level calibration entry clones the cfg onto ragged
+    dispatch for MoE models (dropless stats) unless told not to."""
+    from weathermodel_tpu.serve import calibrate_quant_scales
+
+    model_fp, cfg, batch = _mini_moe_model_and_batch("xla")
+    params = model_fp.init(jax.random.PRNGKey(0), *batch)
+    seen = {}
+    from weathermodel_tpu.cli import pretrain as cli_pretrain
+
+    real_make_model = cli_pretrain.make_model
+
+    def spy(name, cfg_, *a, **kw):
+        seen["dispatch"] = cfg_.moe_dispatch
+        return real_make_model(name, cfg_, *a, **kw)
+
+    monkeypatch.setattr(cli_pretrain, "make_model", spy)
+    calibrate_quant_scales("weatherbert", cfg, params, [batch])
+    assert seen["dispatch"] == "ragged"
+    calibrate_quant_scales("weatherbert", cfg, params, [batch],
+                           dropless_moe_stats=False)
+    assert seen["dispatch"] == "sort"
+
+
 def test_moe_int8_static_guards():
     from weathermodel_tpu.models import WeatherBERT
     from weathermodel_tpu.utils.config import model_config_for_size

@@ -252,6 +252,18 @@ def _ragged_routing(flat_idx, e):
     return order, inv, n_e, sorted_e
 
 
+def _segment_amax(x, seg, e):
+    """Per-expert per-channel absmax over group-sorted rows: the DROPLESS
+    calibration statistic (every routed assignment contributes — under
+    the sort layout, capacity-dropped tokens are absent from the stats,
+    which shifted MoE int8_static drift to 1.96-2.47% vs 1.16% dense in
+    r4). Empty experts return 0 (int8_static's per-channel cross-expert
+    fallback handles them)."""
+    m = jax.ops.segment_max(jnp.abs(x.astype(jnp.float32)), seg,
+                            num_segments=e, indices_are_sorted=True)
+    return jnp.maximum(m, 0.0)
+
+
 def _ep_ragged_experts(mesh, xs, sorted_e, n_e, w1, b1, w2, b2, drop_key,
                        rate, use_dropout, dtype):
     """Expert-parallel dropless expert FFN: the ragged grouped-GEMM block
@@ -505,9 +517,16 @@ class MoEFFN(nn.Module):
         if self.quant_mode not in ("none", "calibrate", "int8_static"):
             raise ValueError(f"quant_mode must be 'none', 'calibrate' or "
                              f"'int8_static', got {self.quant_mode!r}")
-        if self.quant_mode != "none" and not sort_dispatch:
-            raise ValueError("MoE int8_static/calibrate requires "
-                             "dispatch='sort' (the serving default)")
+        if self.quant_mode == "int8_static" and not sort_dispatch:
+            raise ValueError("MoE int8_static requires dispatch='sort' "
+                             "(the int8 expert einsum is wired to the "
+                             "capacity layout)")
+        if self.quant_mode == "calibrate" and not (sort_dispatch
+                                                   or ragged_dispatch):
+            raise ValueError("MoE calibrate requires dispatch='sort' or "
+                             "'ragged' (ragged calibrates on DROPLESS "
+                             "statistics — every routed assignment, no "
+                             "capacity drops; VERDICT r4 directive #6)")
         if self.quant_mode == "int8_static" and use_dropout:
             raise ValueError(
                 "quant_mode='int8_static' is a serving/eval path; train "
@@ -546,7 +565,10 @@ class MoEFFN(nn.Module):
                 s = b * t * k
                 xs = _permute_rows(xk.reshape(s, h), order_, inv_)
                 mesh = _EP_MESH
+                # calibration is an offline single-host pass: always take
+                # the unsharded branch so the dropless stats sow plainly
                 if mesh is not None and e > 1 and \
+                        self.quant_mode != "calibrate" and \
                         int(mesh.shape.get("model", 1)) > 1:
                     # expert-parallel shard_map path (see
                     # _ep_ragged_experts) — GSPMD cannot partition the
@@ -557,11 +579,21 @@ class MoEFFN(nn.Module):
                 else:
                     from weathermodel_tpu.ops.pallas_gmm import gmm
 
+                    if self.quant_mode == "calibrate":
+                        self.sow("quant_stats", "expert_in_amax",
+                                 _segment_amax(xs, sorted_e_, e),
+                                 reduce_fn=jnp.maximum,
+                                 init_fn=lambda: jnp.zeros((), jnp.float32))
                     oh = jax.nn.one_hot(sorted_e_, e, dtype=dtype)  # [S, E]
                     hdn = gmm(xs, w1_.astype(dtype), n_e_)
                     hdn = nn.relu(hdn + oh @ b1_.astype(dtype))
                     if use_dropout:
                         hdn = _keyed_dropout(hdn, drop_key_, rate)
+                    if self.quant_mode == "calibrate":
+                        self.sow("quant_stats", "expert_hidden_amax",
+                                 _segment_amax(hdn, sorted_e_, e),
+                                 reduce_fn=jnp.maximum,
+                                 init_fn=lambda: jnp.zeros((), jnp.float32))
                     out = gmm(hdn, w2_.astype(dtype), n_e_)
                     out = out + oh @ b2_.astype(dtype)          # [S, H]
                 got = _permute_rows(out, inv_, order_).reshape(b, t * k, h)

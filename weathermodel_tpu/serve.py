@@ -136,7 +136,8 @@ class WeatherPredictor:
 
 
 def calibrate_quant_scales(model_name, cfg, params, batches,
-                           attention_impl: str = "xla"):
+                           attention_impl: str = "xla",
+                           dropless_moe_stats: bool = True):
     """Offline PTQ calibration for `ffn_impl="int8_static"`: run the
     FLOAT model over representative batches and record, per encoder
     layer, the absmax of each quantized matmul's input (the FFN input and
@@ -147,9 +148,23 @@ def calibrate_quant_scales(model_name, cfg, params, batches,
 
     `params`: the float variables dict (must contain 'params').
     `batches`: iterable of (weather, coords, year, interval, mask)
-    tuples. Aggregation across batches is an elementwise max."""
+    tuples. Aggregation across batches is an elementwise max.
+
+    MoE models calibrate through the DROPLESS ragged dispatch by default
+    (dropless_moe_stats): under the capacity (sort) layout,
+    over-capacity tokens are absent from the stats, shifting the
+    per-expert scales exactly where routing is hottest (r4 measured
+    1.96-2.47% MoE drift vs 1.16% dense). The per-expert amax of every
+    routed assignment is the right statistic regardless of which layout
+    later serves. The quantized matmul inputs are identical tensors in
+    both layouts (rows of x and relu-hidden), so the stats transfer."""
+    import dataclasses
+
     from weathermodel_tpu.cli.pretrain import make_model
 
+    if dropless_moe_stats and getattr(cfg, "num_experts", 0) > 0 \
+            and cfg.moe_dispatch != "ragged":
+        cfg = dataclasses.replace(cfg, moe_dispatch="ragged")
     calib_model = make_model(model_name, cfg, attention_impl,
                              ffn_impl="calibrate")
 
