@@ -35,9 +35,13 @@ STEPS = 30
 SIZE = "large"
 
 
-def make(ffn_impl, params=None):
+def make(ffn_impl, params=None, dispatch="sort"):
+    # int8_static is wired to the capacity (sort) layout; the bf16 arms
+    # run both dispatches so this script also carries the serving-path
+    # ragged-vs-sort eval A/B (ragged is the r5 default)
     cfg = model_config_for_size(SIZE, compute_dtype="bfloat16",
-                                num_experts=EXPERTS, moe_top_k=2)
+                                num_experts=EXPERTS, moe_top_k=2,
+                                moe_dispatch=dispatch)
     model = WeatherBERT(cfg, attention_impl="pallas_qkv",
                         ffn_impl=ffn_impl)
     rng = np.random.default_rng(0)
@@ -75,7 +79,12 @@ def timed(run, steps=STEPS):
 
 def main():
     a, params, fwd_fp, (batch, cfg) = make("xla")
-    runs = [("bf16", a, None, None)]
+    runs = [("bf16-sort", a, None, None)]
+    if EXPERTS > 0:
+        # the r5 serving default: dropless ragged — the bf16 ragged-vs-
+        # sort eval delta is the cost/benefit of the default flip
+        ar, _, fwd_rag, _ = make("xla", params=params, dispatch="ragged")
+        runs.append(("bf16-ragged", ar, fwd_rag, params))
     if EXPERTS == 0:
         b, _, fwd_dyn, _ = make("int8", params=params)
         runs.append(("int8-dyn", b, fwd_dyn, params))

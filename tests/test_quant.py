@@ -307,8 +307,11 @@ def _mini_moe_model_and_batch(ffn_impl):
     from weathermodel_tpu.models import WeatherBERT
     from weathermodel_tpu.utils.config import model_config_for_size
 
+    # sort pinned: these tests exercise the int8_static serving leg,
+    # which is wired to the capacity layout (the r5 product default is
+    # ragged; serve.load_weather_predictor forces sort for int8_static)
     cfg = model_config_for_size("mini", max_len=52, num_experts=4,
-                                moe_top_k=2)
+                                moe_top_k=2, moe_dispatch="sort")
     model = WeatherBERT(cfg, attention_impl="xla", ffn_impl=ffn_impl)
     rng = np.random.default_rng(9)
     b, t, f = 4, 52, cfg.weather_dim
@@ -403,9 +406,10 @@ def test_calibrate_quant_scales_moe_uses_ragged(monkeypatch):
     monkeypatch.setattr(cli_pretrain, "make_model", spy)
     calibrate_quant_scales("weatherbert", cfg, params, [batch])
     assert seen["dispatch"] == "ragged"
+    # dropless_moe_stats=False means "calibrate with cfg as-is"
     calibrate_quant_scales("weatherbert", cfg, params, [batch],
                            dropless_moe_stats=False)
-    assert seen["dispatch"] == "sort"
+    assert seen["dispatch"] == cfg.moe_dispatch == "sort"
 
 
 def test_moe_int8_static_guards():

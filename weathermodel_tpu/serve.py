@@ -229,10 +229,17 @@ def load_weather_predictor(
             "quantize='int8_static' needs calibration_batches — an "
             "iterable of (weather, coords, year, interval, mask) tuples "
             "of representative inputs (see serve.calibrate_quant_scales)")
+    # int8_static's per-expert einsum is wired to the capacity (sort)
+    # layout; every other MoE serving path uses the dropless ragged
+    # default (exact for any bucket padding — rows are independent)
+    moe_overrides = ({"moe_dispatch": "sort"}
+                     if quantize == "int8_static" and num_experts > 0
+                     else {})
     cfg = model_config_for_size(model_size, max_len=max_len,
                                 num_experts=num_experts,
                                 moe_top_k=moe_top_k,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype,
+                                **moe_overrides)
     ffn_impl = {"int8": "int8", "int8_static": "int8_static"}.get(
         quantize, "xla")
     model = make_model(model_name, cfg, attention_impl, ffn_impl=ffn_impl)

@@ -140,12 +140,18 @@ class PretrainTrainer:
         # inherits another's mesh; read at trace time below.
         from weathermodel_tpu.models.moe import configure_expert_parallel
 
+        is_ragged_moe = (getattr(model_cfg, "num_experts", 0) > 0
+                         and getattr(model_cfg, "moe_dispatch", "")
+                         == "ragged")
+        if is_ragged_moe and seq_parallel > 1:
+            # sequence-sharded activations would feed the gmm pallas call
+            # under GSPMD, which cannot partition it — an untested,
+            # likely-uncompilable combo; the capacity einsums shard fine
+            raise ValueError(
+                "--seq-parallel with a ragged-dispatch MoE is not "
+                "supported; pass --moe-dispatch sort")
         configure_expert_parallel(
-            self.mesh if (tensor_parallel > 1
-                          and getattr(model_cfg, "num_experts", 0) > 0
-                          and getattr(model_cfg, "moe_dispatch", "")
-                          == "ragged")
-            else None)
+            self.mesh if (tensor_parallel > 1 and is_ragged_moe) else None)
         self.workdir = workdir
         if objective is None or masking is None:
             objective, masking = OBJECTIVE_FOR_MODEL[model_name]

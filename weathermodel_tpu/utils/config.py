@@ -46,11 +46,17 @@ class ModelConfig:
     # do not recover it (dispatch-bound; BASELINE.md MoE section) —
     # default off, opt in when memory is the binding constraint.
     moe_remat: bool = False
-    # MoE data movement: "sort" (stable-argsort routing + gather-only
-    # custom-VJP dispatch/combine) or "scatter" (per-row .at[].set).
-    # Identical numerics (equivalence-tested); measured A/B in
-    # BASELINE.md.
-    moe_dispatch: str = "sort"
+    # MoE data movement. "ragged" (default, r5): DROPLESS grouped-GEMM —
+    # global stable-argsort + pallas gmm on the real per-expert counts;
+    # fastest measured (+8.8% over sort at the flagship config,
+    # BASELINE.md round 4), exact at any load (zero tokens dropped), and
+    # composes with expert parallelism via shard_map (models/moe.py).
+    # "sort" (capacity layout, stable-argsort + gather-only custom-VJP
+    # dispatch/combine) remains required for int8_static serving (the
+    # int8 expert einsum is wired to the capacity layout; serve forces
+    # it). "scatter" (per-row .at[].set) is the recorded-slow reference
+    # formulation. sort==scatter numerics (equivalence-tested).
+    moe_dispatch: str = "ragged"
 
     @property
     def hidden_dim(self) -> int:
