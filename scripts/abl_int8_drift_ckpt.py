@@ -24,7 +24,9 @@ sys.path.insert(0, ".")
 
 
 def load_rows(data_dir, chunk_id, n):
-    d = np.load(f"{data_dir}/weather_dataset_weekly_{chunk_id}.npz")
+    from weathermodel_tpu.data.chunks import chunk_path
+
+    d = np.load(chunk_path(data_dir, "weekly", chunk_id))
     w = d["weather"][:n].astype(np.float32)
     c = d["coords"][:n].astype(np.float32)
     b, t, f = w.shape

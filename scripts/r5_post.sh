@@ -14,6 +14,17 @@ cd /root/repo
 EVID=docs/evidence/r5_int8
 mkdir -p "$EVID"
 
+#   0. Re-run of campaign stage 3 (trained-ckpt int8 drift): the
+#      campaign run crashed on a wrong chunk filename (missing
+#      processed/ subdir), fixed in abl_int8_drift_ckpt.py.
+if [ -d /tmp/r5_ab_dense/best ]; then
+  timeout 2400 python scripts/abl_int8_drift_ckpt.py /tmp/r5_ab_dense/best \
+    large /tmp/r5_ab_data 64 2>&1 | tee "$EVID/drift_trained_ckpt.log"
+else
+  echo "r5_post GATE FAILED: no /tmp/r5_ab_dense/best for drift" \
+    | tee "$EVID/GATE_FAILED_drift"
+fi
+
 ABL_EXPERTS=8 ABL_BATCH=96 timeout 3600 python scripts/abl_int8_static.py \
   2>&1 | tee "$EVID/moe_b96_dropless_cal.log"
 
@@ -52,6 +63,20 @@ if [ -d "$ABDATA" ]; then
   fi
 else
   echo "r5_post: no $ABDATA corpus; skipping clean A/B rerun" | tee "$AB/SKIPPED_clean"
+fi
+
+#   D. Drill retry: the campaign's stage-4 drill died with a raw axon
+#      FAILED_PRECONDITION mid-epoch (transient tunnel state suspected —
+#      the drift stage had just crashed in the same process window).
+DR=docs/evidence/r5_drill
+rm -rf /tmp/r5_drill2
+timeout 3600 python -m weathermodel_tpu.cli.etl drill --work-dir /tmp/r5_drill2 \
+  --attention-impl auto 2>&1 | tee "$DR/drill_retry.log"
+if [ -f /tmp/r5_drill2/drill_summary.json ]; then
+    cp /tmp/r5_drill2/drill_summary.json "$DR/"
+    rm -f "$DR/GATE_FAILED"
+else
+    echo "drill retry ALSO failed" | tee -a "$DR/GATE_FAILED"
 fi
 
 echo "=== r5 post done ==="
