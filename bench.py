@@ -109,7 +109,7 @@ def main():
         size, compute_dtype="bfloat16", num_experts=moe_experts,
         moe_top_k=int(os.environ.get("BENCH_MOE_TOP_K", "2")),
         moe_remat=os.environ.get("BENCH_MOE_REMAT", "0") != "0",
-        moe_dispatch=os.environ.get("BENCH_MOE_DISPATCH", "sort"),
+        moe_dispatch=os.environ.get("BENCH_MOE_DISPATCH", "ragged"),
         moe_capacity_factor=float(
             os.environ.get("BENCH_MOE_CF", "1.25")),
         **cfg_overrides)

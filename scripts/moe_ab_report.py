@@ -57,12 +57,21 @@ def main():
           f"moe {m_at:.5f} "
           f"({'moe' if m_at < d_at else 'dense'} wins by "
           f"{abs(d_at - m_at):.5f})")
+    # steady-state per-epoch time (epochs 2+) excludes the jit-compile
+    # cost buried in epoch 0 (cold-cache compile asymmetry — MoE compiles
+    # are several minutes longer than dense — would otherwise bias the
+    # wall-clock comparison toward dense on short runs)
+    d_ep = float(np.mean(np.diff(dt)[1:])) if len(dt) > 2 else float("nan")
+    m_ep = float(np.mean(np.diff(mt)[1:])) if len(mt) > 2 else float("nan")
+    print(f"STEADY-STATE per-epoch: dense {d_ep:.1f}s vs moe {m_ep:.1f}s "
+          f"(moe/dense = {m_ep / d_ep:.2f}x)")
     print(json.dumps({
         "equal_epochs": {"n": int(n), "dense": float(np.min(dv[:n])),
                          "moe": float(np.min(mv[:n]))},
         "equal_wallclock": {"seconds": float(t_eq), "dense": d_at,
                             "moe": m_at},
         "dense_total_s": float(dt[-1]), "moe_total_s": float(mt[-1]),
+        "steady_state_epoch_s": {"dense": d_ep, "moe": m_ep},
     }))
 
 

@@ -38,6 +38,54 @@ def test_synthetic_chunk_statistics():
     assert (np.abs(c[:, 0]) <= 90).all() and (np.abs(c[:, 1]) <= 180).all()
 
 
+def test_hard_synthetic_chunk_low_noise_floor():
+    """The 'hard' regime-mixture corpus must (a) keep the chunk schema,
+    (b) share its regime maps across chunks (learnable), and (c) have a
+    masked-prediction floor far below the plain corpus's ~1.0: a ridge
+    fit from the other features at the same timestep must explain most
+    of one feature's variance (the cross-feature map carries signal)."""
+    from weathermodel_tpu.data.chunks import hard_synthetic_chunk
+
+    w, c, i = hard_synthetic_chunk(7, n_samples=48, seq_len=52)
+    assert w.shape == (48, 52, 31)
+    assert abs(w.mean()) < 0.05 and abs(w.std() - 1.0) < 0.1
+    assert (i[:, 1] == 7).all()
+
+    # cross-feature predictability: ridge-predict feature 0 from the rest
+    x = w.reshape(-1, 31)
+    a, y = x[:, 1:], x[:, 0]
+    g = a.T @ a + 1e-2 * np.eye(30)
+    beta = np.linalg.solve(g, a.T @ y)
+    r2 = 1.0 - np.mean((y - a @ beta) ** 2) / np.mean(y**2)
+    assert r2 > 0.7, f"hard corpus not cross-feature predictable (R2={r2})"
+
+    # plain corpus is NOT this predictable (that's why it saturates)
+    wp, _, _ = synthetic_chunk(7, n_samples=48, seq_len=52)
+    xp = wp.reshape(-1, 31)
+    ap, yp = xp[:, 1:], xp[:, 0]
+    gp = ap.T @ ap + 1e-2 * np.eye(30)
+    bp = np.linalg.solve(gp, ap.T @ yp)
+    r2p = 1.0 - np.mean((yp - ap @ bp) ** 2) / np.mean(yp**2)
+    assert r2p < r2 - 0.2
+
+    # regime maps are seed-stable across chunks: two different chunk
+    # seeds draw from the same per-regime maps (map_seed default)
+    w2, _, _ = hard_synthetic_chunk(8, n_samples=48, seq_len=52)
+    assert not np.allclose(w, w2)  # different samples...
+    # ...but same generating maps: pooled ridge fit transfers to chunk 2
+    x2 = w2.reshape(-1, 31)
+    y2hat = x2[:, 1:] @ beta
+    r2x = 1.0 - np.mean((x2[:, 0] - y2hat) ** 2) / np.mean(x2[:, 0] ** 2)
+    assert r2x > 0.5, f"regime maps not shared across chunks (R2={r2x})"
+
+
+def test_write_synthetic_dataset_hard_flavor(tmp_path):
+    write_synthetic_dataset(str(tmp_path), n_chunks=2, n_samples=8,
+                            seq_len=12, flavor="hard")
+    w, c, i = load_chunk(chunk_path(str(tmp_path), "weekly", 1))
+    assert w.shape == (8, 12, 31) and c.shape == (8, 2) and i.shape == (8, 2)
+
+
 def test_derive_years_formula():
     # reference pretraining_dataloader.py:250-256
     years = derive_years(np.array([0.0, 2.0]), np.array([7.0, 1.0]), 4)

@@ -17,6 +17,10 @@ def main():
     p.add_argument("--freqs", default="weekly",
                    help="comma-separated: daily,weekly,monthly")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--flavor", default="default",
+                   choices=("default", "hard"),
+                   help="'hard' = low-noise-floor regime-mixture corpus "
+                        "(capacity-sensitive; for quality A/Bs)")
     args = p.parse_args()
 
     from weathermodel_tpu.data.chunks import write_synthetic_dataset
@@ -24,7 +28,7 @@ def main():
     write_synthetic_dataset(
         args.data_dir, n_chunks=args.n_chunks, n_samples=args.n_samples,
         seq_len=args.seq_len, freqs=tuple(args.freqs.split(",")),
-        seed=args.seed,
+        seed=args.seed, flavor=args.flavor,
     )
     logging.info("Wrote %d synthetic chunks x %s to %s", args.n_chunks,
                  args.freqs, args.data_dir)

@@ -108,6 +108,88 @@ def synthetic_chunk(
     return weather, coords, index
 
 
+def hard_synthetic_chunk(
+    seed: int,
+    n_samples: int = 64,
+    seq_len: int = MAX_CONTEXT_LENGTH,
+    n_features: int = TOTAL_WEATHER_VARS,
+    freq: str = "weekly",
+    chunk_id: int = 0,
+    n_segments: int = 3,
+    n_regimes: int = 4,
+    n_latents: int = 6,
+    noise: float = 0.1,
+    map_seed: int = 9000,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Regime-mixture synthetic weather with a LOW noise floor.
+
+    The plain `synthetic_chunk` corpus is ~irreducible past val-loss 1.0
+    (per-sample random amplitude/phase + 0.5 AR(1) noise): every model
+    saturates it within 2 epochs, so quality A/Bs (dense vs MoE, small vs
+    large) cannot discriminate capacity on it. Here the observed features
+    are a shared NONLINEAR map of a few smooth latent drivers:
+
+      z(t) in R^L:  sinusoids (random phase/period per sample) + slow AR
+      weather(t) = tanh(z W1_r + b1_r) W2_r + eps,   eps ~ N(0, noise^2)
+
+    with the (W1, b1, W2) map drawn ONCE per regime r from `map_seed`
+    (shared across chunks/samples — learnable), and each sample assigned
+    one of `n_regimes` regimes. Masked features are predictable from the
+    unmasked ones through the regime-specific cross-feature map, so the
+    achievable masked-MSE floor is ~noise^2 << 1 and capacity/expert
+    specialization (one expert per regime) has signal to show up in.
+    Schema is identical to `synthetic_chunk` (reference
+    nasa_power/dataloader.py:103-107); select with
+    `write_synthetic_dataset(flavor="hard")` / `wm-make-synthetic-data
+    --flavor hard`.
+    """
+    rng = np.random.default_rng(seed)
+    interval = FREQ_INTERVALS[freq]
+    day = np.arange(seq_len, dtype=np.float32)[None, :, None] * interval
+
+    # shared per-regime nonlinear maps (deterministic in map_seed only)
+    map_rng = np.random.default_rng(map_seed)
+    hidden = 2 * n_features
+    w1 = map_rng.normal(0, 1.2 / np.sqrt(n_latents),
+                        size=(n_regimes, n_latents, hidden))
+    b1 = map_rng.normal(0, 0.3, size=(n_regimes, 1, hidden))
+    w2 = map_rng.normal(0, 1.5 / np.sqrt(hidden),
+                        size=(n_regimes, hidden, n_features))
+
+    # smooth latent drivers: per-sample sinusoids + slow AR(1)
+    period = rng.uniform(90.0, 400.0, size=(n_samples, 1, n_latents))
+    phase = rng.uniform(0, 2 * np.pi, size=(n_samples, 1, n_latents))
+    z = np.sin(2 * np.pi * day / period + phase).astype(np.float32)
+    slow = rng.normal(size=(n_samples, seq_len, n_latents)).astype(np.float32)
+    for i in range(1, seq_len):
+        slow[:, i] = 0.95 * slow[:, i - 1] + 0.05 * slow[:, i]
+    z = z + 0.5 * slow
+
+    regime = rng.integers(0, n_regimes, size=n_samples)
+    # apply each regime's map to its samples (vectorized per regime)
+    weather = np.empty((n_samples, seq_len, n_features), np.float32)
+    for r in range(n_regimes):
+        sel = regime == r
+        if not sel.any():
+            continue
+        hr = np.tanh(z[sel] @ w1[r] + b1[r])
+        weather[sel] = (hr @ w2[r]).astype(np.float32)
+    weather += noise * rng.normal(
+        size=weather.shape).astype(np.float32)
+    weather = (weather - weather.mean(axis=(0, 1))) / (
+        weather.std(axis=(0, 1)) + 1e-8
+    )
+    coords = np.stack(
+        [rng.uniform(-55, 60, n_samples), rng.uniform(-170, 170, n_samples)],
+        axis=1,
+    ).astype(np.float32)
+    segment = rng.integers(0, n_segments, size=n_samples)
+    index = np.stack(
+        [segment, np.full(n_samples, interval)], axis=1
+    ).astype(np.float32)
+    return weather, coords, index
+
+
 def write_synthetic_dataset(
     data_dir: str = DATA_DIR,
     n_chunks: int = 8,
@@ -115,12 +197,16 @@ def write_synthetic_dataset(
     seq_len: int = MAX_CONTEXT_LENGTH,
     freqs: Tuple[str, ...] = ("weekly",),
     seed: int = 0,
+    flavor: str = "default",
 ) -> None:
     """Materialize a small synthetic dataset in the chunk-store layout
-    (the DRY_RUN-equivalent smoke path, SURVEY.md §4.1)."""
+    (the DRY_RUN-equivalent smoke path, SURVEY.md §4.1). flavor="hard"
+    selects the low-noise-floor regime-mixture corpus
+    (`hard_synthetic_chunk`) for capacity-sensitive quality A/Bs."""
+    gen = {"default": synthetic_chunk, "hard": hard_synthetic_chunk}[flavor]
     for freq in freqs:
         for cid in range(n_chunks):
-            w, c, i = synthetic_chunk(
+            w, c, i = gen(
                 seed + cid * 131 + hash(freq) % 1000, n_samples, seq_len,
                 freq=freq, chunk_id=cid,
             )
