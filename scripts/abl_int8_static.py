@@ -12,6 +12,7 @@ Run: nohup python scripts/abl_int8_static.py > /tmp/abl_int8_static.log 2>&1 &
 """
 
 import os
+import sys
 import time
 
 import jax
@@ -19,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_default_prng_impl", "rbg")
+
+sys.path.insert(0, ".")  # run as scripts/… without pip install
 
 from weathermodel_tpu.models import WeatherBERT
 from weathermodel_tpu.serve import calibrate_quant_scales
