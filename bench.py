@@ -63,6 +63,16 @@ def main():
     if os.environ.get("BENCH_PRNG", "rbg") == "rbg":
         jax.config.update("jax_default_prng_impl", "rbg")
 
+    # Persistent compilation cache (same default the CLIs use): a cold
+    # host pays 20-30 min compiling the large train step through axon —
+    # long enough to kill a timeout-bounded bench run. BENCH_COMPILE_CACHE
+    # =none disables.
+    if os.environ.get("BENCH_COMPILE_CACHE", "") != "none":
+        from weathermodel_tpu.utils import compilation_cache
+
+        compilation_cache.enable(os.environ.get("BENCH_COMPILE_CACHE")
+                                 or None)
+
     from weathermodel_tpu.models import WeatherBERT
     from weathermodel_tpu.parallel.mesh import make_mesh, shard_batch
     from weathermodel_tpu.train.state import create_train_state, make_optimizer
